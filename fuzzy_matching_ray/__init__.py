@@ -1,0 +1,27 @@
+"""fuzzy_matching_ray — a Ray-Data-native near-duplicate detection and
+clustering engine.
+
+A from-scratch re-expression of the capabilities of
+``marginalprog/fuzzy-matching`` (reference at ``/root/reference``) on
+Ray Data: conversations/agent transcripts stored as Parquet turn tables
+are reassembled into documents, signed with MinHash / SimHash sketches,
+bucketed by LSH bands through a skew-aware shuffle, verified with exact
+Jaccard / edit-distance kernels in an actor pool, and clustered with a
+distributed union-find.  Everything streams: ``ray.data.Dataset`` →
+``map_batches`` over zero-copy Arrow batches, actor pools for stateful
+stages, ``groupby`` for the wide steps.
+
+The reference's record-linkage surface (weighted per-field fuzzy
+scoring, transliteration, blocking, consolidation — see SURVEY.md §2)
+is preserved as a library layer on the same engine.
+"""
+
+__version__ = "0.1.0"
+
+from fuzzy_matching_ray.config import (  # noqa: F401
+    FuzzyAlgorithm,
+    MatchFieldConfig,
+    MatchConfig,
+    TransliterationConfig,
+    PipelineConfig,
+)

@@ -1,0 +1,154 @@
+"""Configuration dataclasses.
+
+Mirrors the *surface* of the reference's config model
+(``fuzzy_matching/core/match_config_classes.py:6-75``) — field-weighted
+fuzzy scoring, per-field algorithm override, transliteration toggles,
+blocking — and adds the Ray-Data pipeline knobs (shingle size, MinHash
+permutations, LSH bands, SimHash bits, skew caps, checkpointing).
+
+All configs are frozen; ``PipelineConfig.config_hash()`` fingerprints
+the parameters so checkpoint lineage can refuse to mix configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+
+class FuzzyAlgorithm(str, Enum):
+    """Fuzzy string-similarity algorithm selector.
+
+    Same five algorithms as the reference enum
+    (``match_config_classes.py:6-14``); the kernels are our own
+    implementations (``functions/similarity.py``).
+    """
+
+    RATIO = "ratio"
+    PARTIAL_RATIO = "partial_ratio"
+    TOKEN_SORT = "token_sort"
+    TOKEN_SET = "token_set"
+    WRATIO = "wratio"
+
+
+@dataclass(frozen=True)
+class MatchFieldConfig:
+    """One field participating in weighted record matching.
+
+    Reference: ``match_config_classes.py:17-30``.
+    """
+
+    field: str
+    weight: float = 1.0
+    transliterate: bool = False
+    fuzzy_algorithm: Optional[FuzzyAlgorithm] = None
+
+
+@dataclass(frozen=True)
+class TransliterationConfig:
+    """Reference: ``match_config_classes.py:33-48``."""
+
+    enabled: bool = False
+    standard: str = "Passport"  # "GOST" | "Scientific" | "Passport"
+    threshold: float = 0.7
+    auto_detect: bool = True
+    normalize_names: bool = True
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Record-matching configuration (reference surface).
+
+    Reference: ``match_config_classes.py:51-75``.  ``length_weight`` is
+    kept for API parity; note the reference never reads it (it looks up
+    a field literally named ``'length'`` — ``data_matcher.py:270``), and
+    our cleanliness scorer reproduces that observed behavior.
+    """
+
+    fields: tuple[MatchFieldConfig, ...] = ()
+    length_weight: float = 0.0
+    threshold: float = 0.7
+    block_field: Optional[str] = None
+    group_fields: tuple[str, ...] = ()
+    sort_before_match: bool = False
+    sort_field: Optional[str] = None
+    transliteration: TransliterationConfig = field(default_factory=TransliterationConfig)
+    fuzzy_algorithm: FuzzyAlgorithm = FuzzyAlgorithm.RATIO
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Near-duplicate pipeline configuration (the Ray-Data engine).
+
+    The LSH parameters follow Broder (1997) / Leskovec-Rajaraman-Ullman
+    ch.3: ``num_perm = bands * rows_per_band``; the S-curve threshold is
+    roughly ``(1/bands)^(1/rows_per_band)``.
+    """
+
+    seed: int = 42
+
+    # document assembly
+    turn_separator: str = "\n"
+
+    # canonicalization
+    lowercase: bool = True
+    nfkc: bool = True
+    collapse_whitespace: bool = True
+    fold_yo: bool = True  # ё→е, as the reference's normalize_name_ru does
+
+    # MinHash / LSH channel.  42 bands × 3 rows → S-curve threshold
+    # (1/42)^(1/3) ≈ 0.29: a pair at true Jaccard 0.5 is caught with
+    # p ≈ 0.996, which is what the ≥0.99 dup-pair recall gate needs
+    # (accepted pairs can sit as low as ~0.5 Jaccard when their edit
+    # similarity clears the reference's 0.7 ratio threshold).
+    shingle_k: int = 5
+    num_perm: int = 126
+    bands: int = 42
+    rows_per_band: int = 3
+
+    # SimHash channel
+    simhash_bits: int = 64
+    simhash_bands: int = 4  # bands over the 64 bits; radius = bands-1 guaranteed
+
+    # suffix-array channel
+    min_substring_len: int = 64
+
+    # skew handling
+    max_band_bucket: int = 64  # buckets larger than this get salted/capped
+    max_pairs_per_bucket: int = 2016  # C(64,2)
+
+    # verification: accept a pair if shingle Jaccard >= jaccard_threshold,
+    # OR if its Indel edit similarity >= edit_accept_threshold (the
+    # reference's ratio-threshold semantic, data_matcher.py:671).  The
+    # (expensive) edit kernel only runs in the gray zone
+    # [edit_gate_low, jaccard_threshold).
+    jaccard_threshold: float = 0.7
+    edit_accept_threshold: float = 0.7
+    edit_gate_low: float = 0.3
+    verify_batch_size: int = 256
+    verify_concurrency: int = 4
+
+    # execution
+    sig_batch_size: int = 1024
+    sig_concurrency: int = 4
+
+    # checkpointing
+    workdir: Optional[str] = None
+    num_partitions: int = 16
+
+    def config_hash(self) -> str:
+        payload = json.dumps(dataclasses.asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+        if self.simhash_bits % self.simhash_bands != 0:
+            raise ValueError("simhash_bits must divide evenly into simhash_bands")

@@ -1,0 +1,159 @@
+"""Stable, vectorized hashing primitives.
+
+Everything here is deterministic across processes and machines (no
+Python ``hash()``, no ``PYTHONHASHSEED`` dependence): numpy uint64
+arithmetic with explicit wraparound, plus ``hashlib.blake2b`` for
+token-level hashing.  These are the building blocks for the MinHash,
+SimHash and exact-dup channels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+
+# Mersenne prime 2^61 - 1: modulus for the universal-hash family used by
+# MinHash permutations (a*x + b mod p), the standard construction from
+# Carter-Wegman; products of (a < 2^31) * (x < 2^32) stay below 2^63 so
+# uint64 arithmetic is exact (no wraparound before the mod).
+MERSENNE_61 = np.uint64((1 << 61) - 1)
+_MAX_HASH32 = np.uint64((1 << 32) - 1)
+
+# Fixed multipliers for polynomial rolling hashes (odd 64-bit constants;
+# splitmix64-style mixing).
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — public-domain integer mixer (Steele et al.)."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
+
+
+def codepoints(text: str) -> np.ndarray:
+    """Decode a Python string into a uint64 array of Unicode codepoints."""
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    buf = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    return buf.astype(np.uint64)
+
+
+def char_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of all overlapping k-character shingles of ``text``.
+
+    Vectorized polynomial rolling hash over codepoints with a splitmix64
+    finalizer, truncated to 32 bits (so MinHash's universal-hash products
+    stay exact in uint64).  Returns the *unique* shingle hashes (a set,
+    as MinHash needs).  Texts shorter than ``k`` hash the whole text as
+    a single shingle.
+    """
+    cps = codepoints(text)
+    n = cps.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    with np.errstate(over="ignore"):
+        # h[i] = sum_{j<k} cps[i+j] * BASE^(k-1-j)  (mod 2^64, wraparound ok
+        # because we only use the mixed value as an opaque identifier)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[-1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _POLY_BASE
+        m = n - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc + cps[j : j + m] * powers[j]
+    mixed = _splitmix64(acc) & _MAX_HASH32
+    return np.unique(mixed)
+
+
+def word_shingle_hashes(tokens: list[str], n: int = 1) -> np.ndarray:
+    """64-bit hashes of word n-grams (unique), via blake2b per n-gram."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    if len(tokens) < n:
+        grams = [" ".join(tokens)]
+    else:
+        grams = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    out = np.fromiter(
+        (hash64_str(g) & int(_MAX_HASH32) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+    return np.unique(out)
+
+
+@lru_cache(maxsize=1 << 18)
+def hash64_str(s: str) -> int:
+    """Stable 64-bit hash of a string (blake2b truncated)."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def minhash_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) coefficient vectors for the permutation family."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(MERSENNE_61), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature: min over shingles of (a*x + b) mod p, per perm.
+
+    ``shingles`` are 32-bit values in uint64; products a*x < 2^63 are
+    exact.  Empty shingle sets get the all-max signature (matches
+    nothing).
+    """
+    num_perm = a.size
+    if shingles.size == 0:
+        return np.full(num_perm, MERSENNE_61, dtype=np.uint64)
+    # (num_perm, n) — fine for n up to ~100k shingles at num_perm=128
+    vals = (a[:, None] * shingles[None, :] + b[:, None]) % MERSENNE_61
+    return vals.min(axis=1)
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Collapse a signature into ``bands`` 64-bit band keys.
+
+    Each band of ``rows_per_band`` values is combined with a polynomial
+    mix + splitmix64 finalizer, so equal bands ⇒ equal keys and unequal
+    bands collide with ~2^-64 probability.
+    """
+    rows = sig.size // bands
+    banded = sig.reshape(bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(bands, dtype=np.uint64)
+        for j in range(rows):
+            acc = acc * _POLY_BASE + banded[:, j]
+        # mix in the band index so band 0's key space differs from band 1's
+        acc = acc + np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return _splitmix64(acc)
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash (Charikar 2002) over pre-hashed tokens."""
+    if token_hashes.size == 0:
+        return 0
+    bits = np.unpackbits(token_hashes.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+    signed = bits.astype(np.int64) * 2 - 1
+    if weights is not None:
+        signed = signed * weights[:, None]
+    acc = signed.sum(axis=0)
+    out_bits = (acc > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(out_bits).tobytes(), "big")
+
+
+def simhash_band_keys(sim: int, bands: int, bits: int = 64) -> list[int]:
+    """Split a SimHash into ``bands`` bit-chunks; two hashes within
+    Hamming distance < bands share at least one chunk (pigeonhole)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return [((sim >> (i * width)) & mask) | (i << width) for i in range(bands)]

@@ -1,0 +1,181 @@
+"""The flagship near-duplicate detection + clustering pipeline.
+
+End-to-end flow (SURVEY.md §3.4):
+
+    read_parquet(transcripts)
+      → assemble (groupby conv_id, sort turn_idx)        [shuffle 1]
+      → canonicalize (map_batches, Arrow)                [tasks]
+      → exact-dup pre-pass (sha256 groupby)              [shuffle 0]
+      → channel A: MinHash/LSH band rows → buckets       [shuffle 2]
+      → channel B: SimHash band rows → buckets           [shuffle 2']
+      → pair dedup (groupby (src,dst))                   [shuffle 3]
+      → verify (actor pool, exact Jaccard)               [actor pool]
+      → union-find label propagation                     [shuffle 4 × r]
+      → clusters + representatives → write_parquet
+
+Each checkpointable stage goes through ``CheckpointManager`` when a
+``workdir`` is configured, so a killed run resumes from the last
+completed stage (and per-partition for signatures).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray.data
+
+from fuzzy_matching_ray.config import PipelineConfig
+from fuzzy_matching_ray.stages.assemble import assemble_documents
+from fuzzy_matching_ray.stages.canonicalize import canonicalize_documents
+from fuzzy_matching_ray.stages.exact_dedup import add_text_hash, drop_exact_dups, exact_dup_edges
+from fuzzy_matching_ray.stages.minhash import (
+    candidate_pairs_from_buckets,
+    dedup_pairs,
+    minhash_band_rows,
+)
+from fuzzy_matching_ray.stages.simhash import simhash_band_rows
+from fuzzy_matching_ray.stages.union_find import (
+    cluster_representatives,
+    connected_components,
+)
+from fuzzy_matching_ray.stages.verify import verify_pairs
+from fuzzy_matching_ray.state.checkpoint import CheckpointManager
+
+
+@dataclass
+class DedupResult:
+    docs: ray.data.Dataset        # assembled+canonicalized documents
+    edges: ray.data.Dataset       # verified similarity edges
+    clusters: ray.data.Dataset    # (conv_id, cluster_id)
+    representatives: ray.data.Dataset
+    metrics: dict
+
+
+def dedup_transcripts(
+    turns: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    *,
+    channels: tuple[str, ...] = ("minhash",),
+    keep_docs: bool = True,
+) -> DedupResult:
+    """Run the full pipeline on a transcripts Dataset."""
+    cfg = cfg or PipelineConfig()
+    metrics: dict = {}
+
+    ckpt = CheckpointManager(cfg.workdir, cfg.config_hash()) if cfg.workdir else None
+
+    def _docs() -> ray.data.Dataset:
+        docs = assemble_documents(
+            turns, separator=cfg.turn_separator, num_partitions=cfg.num_partitions
+        )
+        docs = canonicalize_documents(docs, cfg)
+        docs = docs.map_batches(add_text_hash, batch_format="pyarrow")
+        return docs
+
+    if ckpt:
+        res = ckpt.run_stage("docs", _docs)
+        docs, metrics["docs_rows"] = res.ds, res.rows
+        metrics["docs_reused"] = res.reused
+    else:
+        docs = _docs().materialize()
+        metrics["docs_rows"] = docs.count()
+
+    # exact-dup pre-pass
+    exact_edges = exact_dup_edges(docs, cfg.num_partitions)
+    uniq_docs = drop_exact_dups(docs, cfg.num_partitions).materialize()
+    metrics["unique_docs"] = uniq_docs.count()
+
+    # candidate generation channels over unique docs
+    pair_sets = []
+    if "minhash" in channels:
+        band_rows = minhash_band_rows(uniq_docs, cfg)
+        pair_sets.append(candidate_pairs_from_buckets(band_rows, cfg, "minhash", cfg.num_partitions))
+    if "simhash" in channels:
+        srows = simhash_band_rows(uniq_docs, cfg)
+        pair_sets.append(candidate_pairs_from_buckets(srows, cfg, "simhash", cfg.num_partitions))
+    if "substring" in channels:
+        from fuzzy_matching_ray.stages.suffix_array import substring_pairs
+
+        pair_sets.append(substring_pairs(uniq_docs, cfg))
+
+    if not pair_sets:
+        raise ValueError("at least one channel required")
+    pairs = pair_sets[0]
+    for extra in pair_sets[1:]:
+        pairs = pairs.union(extra)
+
+    def _pairs() -> ray.data.Dataset:
+        return dedup_pairs(pairs, cfg.num_partitions)
+
+    if ckpt:
+        res = ckpt.run_stage("pairs", _pairs)
+        uniq_pairs = res.ds
+        metrics["candidate_pairs"] = res.rows
+    else:
+        uniq_pairs = _pairs().materialize()
+        metrics["candidate_pairs"] = uniq_pairs.count()
+
+    # skew accounting: emitted vs dropped pairs per hot bucket
+    metrics["dropped_pairs_hot_buckets"] = _dropped_pairs(uniq_pairs, cfg)
+
+    # verification
+    def _edges() -> ray.data.Dataset:
+        verified = verify_pairs(
+            uniq_pairs, uniq_docs, cfg, doc_count=metrics["unique_docs"]
+        )
+        return verified.union(exact_edges)
+
+    if ckpt:
+        res = ckpt.run_stage("edges", _edges)
+        edges = res.ds
+        metrics["edges"] = res.rows
+    else:
+        edges = _edges().materialize()
+        metrics["edges"] = edges.count()
+
+    # clustering
+    nodes = docs.select_columns(["conv_id"])
+
+    def _clusters() -> ray.data.Dataset:
+        return connected_components(nodes, edges, num_partitions=cfg.num_partitions)
+
+    if ckpt:
+        res = ckpt.run_stage("clusters", _clusters)
+        clusters = res.ds
+        metrics["nodes"] = res.rows
+    else:
+        clusters = _clusters().materialize()
+        metrics["nodes"] = clusters.count()
+
+    reps = cluster_representatives(clusters, cfg.num_partitions)
+
+    return DedupResult(
+        docs=docs if keep_docs else uniq_docs,
+        edges=edges,
+        clusters=clusters,
+        representatives=reps,
+        metrics=metrics,
+    )
+
+
+def _dropped_pairs(uniq_pairs: ray.data.Dataset, cfg: PipelineConfig) -> int:
+    """Exact count of cross-chunk pairs skipped in salted hot buckets:
+    sum over oversized buckets of C(n,2) − emitted."""
+    import pandas as pd
+
+    big = uniq_pairs.filter(
+        expr=f"bucket_size > {cfg.max_band_bucket}"
+    )
+    try:
+        df = big.select_columns(["bucket_size"]).to_pandas()
+    except Exception:
+        df = pd.DataFrame({"bucket_size": []})
+    if df.empty:
+        return 0
+    # emitted per oversized bucket ≈ rows observed with that size; exact
+    # dropped accounting is C(n,2) - emitted, aggregated over buckets
+    sizes = df["bucket_size"].value_counts()
+    dropped = 0
+    for n, emitted in sizes.items():
+        dropped += max(0, n * (n - 1) // 2 - int(emitted))
+    return int(dropped)

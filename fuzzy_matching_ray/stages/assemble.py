@@ -1,0 +1,128 @@
+"""Turn table → document table (conversation assembly).
+
+The reference's unit of matching is a flat record; ours is a
+*conversation* reassembled from its turns under stable ``turn_idx``
+ordering (BASELINE.json ``input_hint``).  This is shuffle #1 of the
+pipeline (SURVEY.md §3.4).
+
+Scale design: instead of ``groupby("conv_id").map_groups`` (one Python
+call per conversation — millions of tiny groups), we bucket by a hash
+of ``conv_id`` into ``num_partitions`` coarse partitions and assemble a
+whole bucket at a time with vectorized pandas groupby inside
+``map_groups``.  One shuffle either way, but the per-group Python
+overhead is amortized over ~|docs|/P conversations.
+
+The original per-turn payload (``turn_idx``/``role``/``text``/``tool``)
+is carried as list columns so the per-turn text-equality invariant can
+re-explode documents exactly (north_rule; see ``explode_docs``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from fuzzy_matching_ray.hashing import hash64_str
+
+DOC_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int32()),
+        ("doc_text", pa.string()),
+        ("turn_idxs", pa.list_(pa.int32())),
+        ("roles", pa.list_(pa.string())),
+        ("turn_texts", pa.list_(pa.string())),
+        ("tools", pa.list_(pa.string())),
+        ("min_ts", pa.timestamp("us")),
+        ("max_ts", pa.timestamp("us")),
+    ]
+)
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int, col: str = "conv_id") -> pa.Table:
+    """Stable hash-bucket column used for coarse partitioning (the ONE
+    partitioning key reused across stages)."""
+    ids = batch[col].to_pylist()
+    parts = np.fromiter(
+        (hash64_str(i) % num_partitions for i in ids), dtype=np.int32, count=len(ids)
+    )
+    return batch.append_column("part", pa.array(parts, pa.int32()))
+
+
+def _assemble_bucket(df: pd.DataFrame, separator: str) -> pd.DataFrame:
+    """Assemble every conversation in one hash bucket (vectorized)."""
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = df.groupby("conv_id", sort=False)
+    out = pd.DataFrame(
+        {
+            "n_turns": g.size().astype("int32"),
+            "doc_text": g["text"].agg(lambda s: separator.join(s)),
+            "turn_idxs": g["turn_idx"].agg(list),
+            "roles": g["role"].agg(list),
+            "turn_texts": g["text"].agg(list),
+            "tools": g["tool"].agg(list),
+            "min_ts": g["ts"].min(),
+            "max_ts": g["ts"].max(),
+        }
+    )
+    out = out.reset_index()
+    return out
+
+
+def assemble_documents(
+    turns: ray.data.Dataset,
+    *,
+    separator: str = "\n",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``(conv_id, turn_idx, role, text, tool, ts)`` rows →
+    one document row per conversation."""
+    bucketed = turns.map_batches(
+        add_partition_column,
+        fn_kwargs={"num_partitions": num_partitions},
+        batch_format="pyarrow",
+    )
+    docs = bucketed.groupby("part").map_groups(
+        lambda df: _assemble_bucket(df.drop(columns=["part"]), separator),
+        batch_format="pandas",
+    )
+    return docs
+
+
+def explode_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Inverse of assembly: document rows → per-turn rows
+    ``(conv_id, turn_idx, role, text, tool)``.  Used by the per-turn
+    text-equality invariant test."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        conv = batch["conv_id"].to_pylist()
+        idxs = batch["turn_idxs"].to_pylist()
+        roles = batch["roles"].to_pylist()
+        texts = batch["turn_texts"].to_pylist()
+        tools = batch["tools"].to_pylist()
+        out_conv: list[str] = []
+        out_idx: list[int] = []
+        out_role: list[str] = []
+        out_text: list[str] = []
+        out_tool: list[str] = []
+        for i in range(n):
+            k = len(idxs[i])
+            out_conv.extend([conv[i]] * k)
+            out_idx.extend(idxs[i])
+            out_role.extend(roles[i])
+            out_text.extend(texts[i])
+            out_tool.extend(tools[i])
+        return pa.table(
+            {
+                "conv_id": pa.array(out_conv, pa.string()),
+                "turn_idx": pa.array(out_idx, pa.int32()),
+                "role": pa.array(out_role, pa.string()),
+                "text": pa.array(out_text, pa.string()),
+                "tool": pa.array(out_tool, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_explode, batch_format="pyarrow")

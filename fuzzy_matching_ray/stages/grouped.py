@@ -1,0 +1,62 @@
+"""Bucketed grouped-apply: the scale-safe alternative to per-group
+``map_groups``.
+
+``ds.groupby(key).map_groups(fn)`` costs one Python call per *group*;
+with millions of tiny groups (per-document hashes, per-pair keys,
+per-node labels) that Python overhead dominates the stage.  Instead we
+hash the key into ``num_partitions`` coarse buckets, shuffle once on
+the bucket id, and hand each bucket to a *vectorized* pandas callback
+that processes all of its groups at once (``df.groupby`` /
+``drop_duplicates`` / ``merge`` inside).  Same single shuffle, O(P)
+Python calls instead of O(groups).
+
+Bucket ids must be stable across processes: strings are hashed with
+``pandas.util.hash_array`` (fixed-key SipHash, process-stable);
+integer keys are already uniform hashes and are bucketed by modulo.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+PART_COL = "__part"
+
+
+def _bucket_of_column(col: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        return (vals % np.uint64(num_partitions)).astype(np.int32)
+    arr = np.asarray(col.to_pylist(), dtype=object)
+    return (pd.util.hash_array(arr) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def add_bucket_column(
+    ds: ray.data.Dataset, key: str, num_partitions: int
+) -> ray.data.Dataset:
+    def _add(batch: pa.Table) -> pa.Table:
+        b = _bucket_of_column(batch[key], num_partitions)
+        return batch.append_column(PART_COL, pa.array(b, pa.int32()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def bucketed_group_apply(
+    ds: ray.data.Dataset,
+    key: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Shuffle on ``hash(key) % P`` and apply ``fn`` to each bucket's
+    full DataFrame (bucket column already dropped).  ``fn`` must be
+    vectorized over the groups inside the bucket."""
+    bucketed = add_bucket_column(ds, key, num_partitions)
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=[PART_COL]))
+
+    return bucketed.groupby(PART_COL).map_groups(_apply, batch_format="pandas")

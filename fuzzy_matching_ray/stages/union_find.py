@@ -1,0 +1,148 @@
+"""Distributed connected components over the edge Dataset
+(replaces the reference's greedy 1:1 match + consolidation,
+``core/data_matcher.py:412-499`` — generalized to transitive clusters
+per north_rule, with deterministic min-``conv_id`` representatives).
+
+Algorithm: iterative min-label propagation ("hash-to-min" family, cf.
+Rastogi et al. 2013): every node starts labeled with itself; each
+round every node sends its current label to itself and its neighbors,
+then takes the min of what it received.  State lives entirely in
+Datasets (no driver-held index).  Each round is exactly two bucketed
+shuffles:
+
+1. *join bucket* (key = hash(node) % P): labels meet the adjacency
+   rows of their node; a vectorized pandas merge emits
+   ``(target, label)`` messages.
+2. *reduce bucket* (key = hash(target) % P): vectorized
+   ``groupby(target).min`` produces the new labels, and — because the
+   node's previous label rides along as a self-message — the
+   changed-label count is computed in the same pass (``changed``
+   column summed on the driver), so convergence detection costs no
+   extra shuffle.
+
+Converges in O(component diameter) rounds; LSH dup clusters are
+near-cliques, so 2-4 rounds in practice.  ``max_rounds`` caps the
+worst case (a path graph).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+CLUSTER_SCHEMA = pa.schema([("conv_id", pa.string()), ("cluster_id", pa.string())])
+
+
+def _sym_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    def _sym(batch: pa.Table) -> pa.Table:
+        src = batch["src"].combine_chunks() if isinstance(batch["src"], pa.ChunkedArray) else batch["src"]
+        dst = batch["dst"].combine_chunks() if isinstance(batch["dst"], pa.ChunkedArray) else batch["dst"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays([src, dst]),
+                "nbr": pa.concat_arrays([dst, src]),
+            }
+        )
+
+    return edges.select_columns(["src", "dst"]).map_batches(_sym, batch_format="pyarrow")
+
+
+def connected_components(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    *,
+    max_rounds: int = 12,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``nodes(conv_id)`` + ``edges(src,dst)`` → ``(conv_id, cluster_id)``
+    with cluster_id = min conv_id of the component."""
+    sym = _sym_edges(edges).materialize()
+
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": b["conv_id"], "label": b["conv_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # --- stage 1: labels ⋈ adjacency → messages -------------------
+        lab_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "nbr": pa.array([None] * b.num_rows, pa.string()),
+                    "label": b["label"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_rows = sym.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "nbr": b["nbr"],
+                    "label": pa.array([None] * b.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def _send(df: pd.DataFrame) -> pd.DataFrame:
+            labs = df[df["nbr"].isna()][["node", "label"]]
+            adj = df[df["label"].isna()][["node", "nbr"]]
+            to_nbrs = adj.merge(labs, on="node", how="inner")
+            # self-messages carry is_self=1 so the reducer can detect change
+            self_msgs = pd.DataFrame(
+                {"target": labs["node"], "label": labs["label"], "is_self": np.int8(1)}
+            )
+            nbr_msgs = pd.DataFrame(
+                {"target": to_nbrs["nbr"], "label": to_nbrs["label"], "is_self": np.int8(0)}
+            )
+            return pd.concat([self_msgs, nbr_msgs], ignore_index=True)
+
+        messages = bucketed_group_apply(
+            lab_rows.union(edge_rows), "node", _send, num_partitions
+        )
+
+        # --- stage 2: min per target + changed count ------------------
+        def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("target", sort=False)
+            new = g["label"].min()
+            old = df[df["is_self"] == 1].set_index("target")["label"]
+            old = old[~old.index.duplicated()]
+            changed = (new.reindex(old.index) != old).astype("int32")
+            out = pd.DataFrame({"node": new.index, "label": new.to_numpy()})
+            out["changed"] = changed.reindex(new.index).fillna(0).astype("int32").to_numpy()
+            return out
+
+        new_labels = bucketed_group_apply(messages, "target", _reduce, num_partitions).materialize()
+        changed_total = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if not changed_total:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"conv_id": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def cluster_representatives(
+    clusters: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """One representative row per cluster: the deterministic min
+    conv_id (our analogue of ``select_cleaner_record``,
+    ``core/data_matcher.py:262-281``, with a total order), plus the
+    cluster size."""
+
+    def _rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "conv_id"], kind="mergesort")
+        sizes = df.groupby("cluster_id", sort=False)["conv_id"].transform("size")
+        out = df[~df["cluster_id"].duplicated()].copy()
+        out["cluster_size"] = sizes[out.index].astype("int32").to_numpy()
+        return out
+
+    return bucketed_group_apply(clusters, "cluster_id", _rep, num_partitions)
