@@ -82,7 +82,7 @@ def minhash_band_rows(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=cfg.sig_concurrency,
+        concurrency=(1, cfg.sig_concurrency),
         num_cpus=1,
     )
     return explode_bands(sigs, cfg.bands)

@@ -66,7 +66,7 @@ def simhash_band_rows(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=cfg.sig_concurrency,
+        concurrency=(1, cfg.sig_concurrency),
         num_cpus=1,
     )
     bands = cfg.simhash_bands

@@ -188,7 +188,7 @@ def verify_pairs(
         fn_constructor_args=(cfg, store_ref),
         batch_format="pyarrow",
         batch_size=cfg.verify_batch_size,
-        concurrency=cfg.verify_concurrency,
+        concurrency=(1, cfg.verify_concurrency),
         num_cpus=1,
     )
 

@@ -159,9 +159,7 @@ class CheckpointManager:
                 f,
                 indent=2,
             )
-        ds = ray.data.read_parquet(
-            [os.path.join(out_dir, f"part={p}") for p in partitions]
-        )
+        ds = ray.data.read_parquet(out_dir, file_extensions=["parquet"])
         return StageResult(ds=ds, path=out_dir, reused=False, rows=rows)
 
 

@@ -1,0 +1,35 @@
+"""Per-turn text-equality invariant (north_rule / BASELINE.json
+``input_hint``): re-exploding assembled documents reproduces every
+``(conv_id, turn_idx) → (role, text, tool)`` of the source Parquet
+exactly."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from fuzzy_matching_ray.stages.assemble import assemble_documents, explode_docs
+
+
+def test_per_turn_invariant(ray_session, tiny_transcripts):
+    turns = rd.read_parquet(tiny_transcripts["turns_dir"])
+    docs = assemble_documents(turns, num_partitions=4)
+    back = explode_docs(docs).to_pandas()
+    src = turns.to_pandas()[["conv_id", "turn_idx", "role", "text", "tool"]]
+
+    key = ["conv_id", "turn_idx"]
+    back = back.sort_values(key).reset_index(drop=True)
+    src = src.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, src, check_like=True)
+
+
+def test_doc_text_is_ordered_join(ray_session, tiny_transcripts):
+    turns = rd.read_parquet(tiny_transcripts["turns_dir"])
+    docs = assemble_documents(turns, separator="\n", num_partitions=4).to_pandas()
+    src = turns.to_pandas()
+    one = docs.iloc[0]
+    expected = "\n".join(
+        src[src.conv_id == one.conv_id].sort_values("turn_idx").text
+    )
+    assert one.doc_text == expected
+    assert one.n_turns == (src.conv_id == one.conv_id).sum()

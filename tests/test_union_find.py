@@ -1,0 +1,47 @@
+"""Distributed connected components: correctness on known graph
+shapes, convergence within the round cap."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from fuzzy_matching_ray.stages.union_find import cluster_representatives, connected_components
+
+
+def _run(nodes: list[str], edges: list[tuple[str, str]]):
+    nds = rd.from_pandas(pd.DataFrame({"conv_id": nodes}))
+    eds = rd.from_pandas(
+        pd.DataFrame({"src": [e[0] for e in edges], "dst": [e[1] for e in edges],
+                      "score": 1.0, "channel": "minhash"})
+        if edges
+        else pd.DataFrame({"src": pd.Series(dtype=object), "dst": pd.Series(dtype=object),
+                           "score": pd.Series(dtype=float), "channel": pd.Series(dtype=object)})
+    )
+    out = connected_components(nds, eds, num_partitions=4).to_pandas()
+    return dict(zip(out.conv_id, out.cluster_id))
+
+
+def test_chain_and_star(ray_session):
+    nodes = [f"n{i}" for i in range(8)] + ["s0", "s1", "s2", "s3", "iso"]
+    chain = [(f"n{i}", f"n{i+1}") for i in range(7)]
+    star = [("s0", "s1"), ("s0", "s2"), ("s0", "s3")]
+    lab = _run(nodes, chain + star)
+    assert all(lab[f"n{i}"] == "n0" for i in range(8))
+    assert all(lab[f"s{i}"] == "s0" for i in range(4))
+    assert lab["iso"] == "iso"
+
+
+def test_no_edges_all_singletons(ray_session):
+    lab = _run(["a", "b", "c"], [])
+    assert lab == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_representatives(ray_session):
+    lab = _run(["b", "a", "c", "z"], [("b", "a"), ("a", "c")])
+    nds = rd.from_pandas(pd.DataFrame({"conv_id": list(lab), "cluster_id": [lab[k] for k in lab]}))
+    reps = cluster_representatives(nds, num_partitions=2).to_pandas()
+    reps = reps.set_index("cluster_id")
+    assert reps.loc["a", "conv_id"] == "a"
+    assert reps.loc["a", "cluster_size"] == 3
+    assert reps.loc["z", "cluster_size"] == 1
