@@ -1,44 +1,415 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup pipeline on synthetic
+transcripts at sf0.001 scale.  ``queries()`` exposes every implemented
+operator/pipeline (SURVEY.md §2 + the training-data extras);
+``oracle_sql()`` gives DuckDB oracles for the SQL-expressible ones.
+Column names and integer-valued contracts are aligned between the Ray
+code and the SQL so the driver's order-insensitive value-hash matches.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in these call paths.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# transcripts scale per test-data scale factor (the transcripts table is
+# ours to synthesize — BASELINE.json input_hint; deterministic, cached)
+_SF_CONVS = {"sf0.001": 100, "sf0.01": 800, "sf0.1": 6000}
+_CACHE_ROOT = "/tmp/fmr_cache"
+
+
+def _transcripts_dir(sf_dir: str) -> str:
+    from fuzzy_matching_ray.datagen import TranscriptGenConfig, write_transcripts
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_CONVS.get(sf, 200)
+    out = os.path.join(_CACHE_ROOT, f"transcripts_{sf}")
+    return write_transcripts(out, TranscriptGenConfig(n_convs=n, seed=42))
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _pipeline_cfg() -> "Any":
+    from fuzzy_matching_ray.config import PipelineConfig
+
+    return PipelineConfig(num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001-scale transcripts → clusters."""
+    import ray.data as rd
+
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    turns = rd.read_parquet(_transcripts_dir("/root/testdata/sf0.001"))
+    res = dedup_transcripts(turns, _pipeline_cfg())
+    return res.clusters
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+
+
+def _q_dedup_minhash_clusters(sf_dir: str):
+    import ray.data as rd
+
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    turns = rd.read_parquet(_transcripts_dir(sf_dir))
+    return dedup_transcripts(turns, _pipeline_cfg()).clusters
+
+
+def _q_dedup_cluster_reps(sf_dir: str):
+    import ray.data as rd
+
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    turns = rd.read_parquet(_transcripts_dir(sf_dir))
+    return dedup_transcripts(turns, _pipeline_cfg()).representatives
+
+
+def _q_dedup_simhash_clusters(sf_dir: str):
+    import ray.data as rd
+
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    turns = rd.read_parquet(_transcripts_dir(sf_dir))
+    return dedup_transcripts(turns, _pipeline_cfg(), channels=("simhash",)).clusters
+
+
+def _q_substring_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    turns = rd.read_parquet(_transcripts_dir(sf_dir))
+    res = dedup_transcripts(turns, _pipeline_cfg(), channels=("minhash", "substring"))
+    return res.edges
+
+
+def _q_assemble_docs(sf_dir: str):
+    import ray.data as rd
+
+    from fuzzy_matching_ray.stages.assemble import assemble_documents
+
+    turns = rd.read_parquet(_transcripts_dir(sf_dir))
+    docs = assemble_documents(turns, num_partitions=8)
+    return docs.map_batches(
+        lambda b: pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "n_turns": b["n_turns"],
+                "n_chars": pa.compute.utf8_length(b["doc_text"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_record_match(sf_dir: str):
+    import ray.data as rd
+
+    from fuzzy_matching_ray.config import MatchConfig, MatchFieldConfig
+    from fuzzy_matching_ray.datagen import PersonGenConfig, generate_person_records
+    from fuzzy_matching_ray.pipelines.record_match import match_records
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    n = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 1500}.get(sf, 100)
+    orig, var = generate_person_records(PersonGenConfig(n_records=n, language="mixed"))
+    cfg = MatchConfig(
+        fields=(
+            MatchFieldConfig("last_name", 0.4),
+            MatchFieldConfig("first_name", 0.3),
+            MatchFieldConfig("middle_name", 0.2),
+            MatchFieldConfig("email", 0.1),
+        ),
+        threshold=0.7,
+        block_field="last_name",
+        sort_before_match=True,
+    )
+    return match_records(rd.from_pandas(pd.DataFrame(orig)), rd.from_pandas(pd.DataFrame(var)), cfg)
+
+
+def _q_transliterate(sf_dir: str):
+    import ray.data as rd
+
+    from fuzzy_matching_ray.datagen import PersonGenConfig, generate_person_records
+    from fuzzy_matching_ray.pipelines.record_match import transliterate_dataset
+
+    orig, _ = generate_person_records(PersonGenConfig(n_records=200, language="ru"))
+    ds = rd.from_pandas(pd.DataFrame(orig))
+    return transliterate_dataset(ds, "en", ["last_name", "first_name", "middle_name"])
+
+
+def _q_exact_dedup_documents(sf_dir: str):
+    from fuzzy_matching_ray.extras.doc_dedup import exact_dedup_docs
+
+    return exact_dedup_docs(_read(sf_dir, "documents"))
+
+
+def _q_token_count(sf_dir: str):
+    from fuzzy_matching_ray.extras.textstats import token_counts
+
+    return token_counts(_read(sf_dir, "documents"))
+
+
+def _q_quality_stats(sf_dir: str):
+    from fuzzy_matching_ray.extras.textstats import quality_stats
+
+    return quality_stats(_read(sf_dir, "documents"))
+
+
+def _q_langid(sf_dir: str):
+    from fuzzy_matching_ray.extras.textstats import language_id
+
+    return language_id(_read(sf_dir, "documents"))
+
+
+def _q_fingerprints(sf_dir: str):
+    from fuzzy_matching_ray.extras.textstats import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from fuzzy_matching_ray.extras.doc_dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), min_ratio_pct=30)
+
+
+def _q_minhash_dedup_documents(sf_dir: str):
+    from fuzzy_matching_ray.extras.doc_dedup import minhash_dedup_docs
+
+    return minhash_dedup_docs(_read(sf_dir, "documents"))
+
+
+def _q_embedding_cosine_pairs(sf_dir: str):
+    from fuzzy_matching_ray.extras.doc_dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_read(sf_dir, "embeddings"), threshold=0.3)
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from fuzzy_matching_ray.extras.ann import knn_bruteforce
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    head = t.slice(0, 10)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings")
+    return knn_bruteforce(ds, qmat, qids, k=5)
+
+
+def _q_knn_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from fuzzy_matching_ray.extras.ann import knn_lsh
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    head = t.slice(0, 10)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings")
+    return knn_lsh(ds, qmat, qids, k=5)
+
+
+def _q_multimodal(sf_dir: str):
+    from fuzzy_matching_ray.extras.multimodal import decode_media, text_to_fake_binary
+
+    media = text_to_fake_binary(_read(sf_dir, "documents"))
+    feats = decode_media(media)
+    return feats.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "width": b["width"], "payload_bytes": b["payload_bytes"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_lineitem_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n_rows"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+    return out
+
+
+def _q_orders_top10(sf_dir: str):
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_customer_per_nation(sf_dir: str):
+    import ray
+
+    from ray.data.aggregate import Count
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    lookup_ref = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch["c_nationkey"].to_pylist()
+        return pa.table({"n_name": pa.array([lookup[k] for k in keys], pa.string())})
+
+    ds = _read(sf_dir, "customer").select_columns(["c_nationkey"]).map_batches(
+        _attach, batch_format="pyarrow"
+    )
+    return ds.groupby("n_name").aggregate(Count(alias_name="n_customers"))
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+
+    def _trunc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+                "value": batch["value"],
+            }
+        )
+
+    return (
+        ds.map_batches(_trunc, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship transcripts pipeline (non-SQL: LSH/sketches/union-find)
+        "dedup_minhash_clusters": _q_dedup_minhash_clusters,
+        "dedup_cluster_reps": _q_dedup_cluster_reps,
+        "dedup_simhash_clusters": _q_dedup_simhash_clusters,
+        "dedup_substring_edges": _q_substring_pairs,
+        "assemble_docs": _q_assemble_docs,
+        # reference record-linkage surface
+        "record_match_persons": _q_record_match,
+        "transliterate_persons": _q_transliterate,
+        # document-table operators (SQL oracles)
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "token_count_documents": _q_token_count,
+        "quality_stats_documents": _q_quality_stats,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "multimodal_decode": _q_multimodal,
+        # document-table operators (heuristic / sketch — rows-only)
+        "langid_documents": _q_langid,
+        "fingerprint_documents": _q_fingerprints,
+        "minhash_dedup_documents": _q_minhash_dedup_documents,
+        # embeddings
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        # relational coverage (groupby/sort/limit/join/window)
+        "lineitem_agg": _q_lineitem_agg,
+        "orders_top10": _q_orders_top10,
+        "customer_per_nation": _q_customer_per_nation,
+        "events_hourly": _q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_documents": (
+            "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "token_count_documents": (
+            "SELECT doc_id, "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens, "
+            "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe, "
+            "length(text)::BIGINT AS n_chars_calc "
+            "FROM documents"
+        ),
+        "quality_stats_documents": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars_calc, "
+            "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::BIGINT AS n_punct, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits, "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper, "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, source, "
+            "list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst, "
+            "len(list_intersect(a.tok, b.tok))::BIGINT AS inter_size, "
+            "len(list_distinct(list_concat(a.tok, b.tok)))::BIGINT AS union_size "
+            "FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id) "
+            "SELECT src, dst, inter_size, union_size FROM pairs "
+            "WHERE 100 * inter_size >= 30 * union_size"
+        ),
+        "multimodal_decode": (
+            "SELECT doc_id, ((octet_length(encode(text)) % 640) + 1)::INT AS width, "
+            "octet_length(encode(text))::BIGINT AS payload_bytes FROM documents"
+        ),
+        "embedding_cosine_pairs": (
+            "SELECT a.vec_id AS src, b.vec_id AS dst "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 10), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
+            "FROM sims) "
+            "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows, "
+            "sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price, "
+            "max(l_extendedprice) AS max_price "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_top10": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "customer_per_nation": (
+            "SELECT n_name, count(*)::BIGINT AS n_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "events_hourly": (
+            "SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events, "
+            "min(value) AS min_value, max(value) AS max_value "
+            "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+        ),
+    }

@@ -1,0 +1,125 @@
+"""Benchmark entry (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) on the same input and reports throughput at both
+plus the scaling efficiency (the sandbox proxy for the N vs 4N
+cluster-size criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _headline(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    turns_dir = entrymod._transcripts_dir(sf_dir)
+
+    # warm the page cache with one untimed read
+    n_turns = rd.read_parquet(turns_dir).count()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    res = dedup_transcripts(rd.read_parquet(turns_dir), entrymod._pipeline_cfg())
+    n_clusters = res.representatives.count()
+    dedup_sec = time.time() - t0
+    queries["dedup_minhash"] = round(dedup_sec, 3)
+
+    # secondary pipelines over the provided testdata tables
+    for name in ("exact_dedup_documents", "token_count_documents", "ngram_jaccard_pairs",
+                 "knn_bruteforce", "lineitem_agg", "events_hourly"):
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        out = fn(sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "transcript near-dup dedup wall time (flagship)",
+        "value": queries["dedup_minhash"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "n_clusters": int(n_clusters),
+        "turns_per_sec": round(n_turns / dedup_sec, 1),
+    }
+
+
+def _run_subprocess(ncpu: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _run_subprocess(lo, sf_dir)
+        r_hi = _run_subprocess(hi, sf_dir)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (8 vs 32 CPUs, fresh processes)",
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "turns_per_sec_8": r_lo["turns_per_sec"],
+                    "turns_per_sec_32": r_hi["turns_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                    "sf": r_hi["sf"],
+                }
+            )
+        )
+        return
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(_headline(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``knn_bruteforce`` — exact top-k cosine: the query matrix is
+  broadcast once via ``ray.put`` (never re-shipped per batch); each
+  ``map_batches`` task does one float64 matmul of its batch against
+  the query matrix and emits per-query partial top-k; a final small
+  groupby reduces partials to the global top-k.  This is the
+  scale path for "few queries × huge corpus".
+
+* ``knn_lsh`` — random-hyperplane LSH (Charikar 2002) bucketing as
+  the approximate scale path for "many queries": corpus and queries
+  hash to sign-pattern buckets; candidates share a bucket in at least
+  one of ``n_tables`` tables; exact cosine re-ranks candidates.
+
+Ranking is deterministic: similarity rounded to 6 decimals, ties
+broken by ascending neighbor id (so an ANSI-SQL oracle with the same
+rounding ranks identically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns a pandas DataFrame ``(query_id, neighbor_id, rank)`` —
+    small (|queries| × k), so driver-side materialization is fine.
+    """
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put((qmat, qids))
+
+    def _partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qi = ray.get(qref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]]))
+        sims = qm @ mat.T  # (Q, B)
+        rows = []
+        for r in range(qm.shape[0]):
+            s = sims[r]
+            mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != qi[r]
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            take = cand[np.argsort(-s[cand], kind="stable")[: k]]
+            for c in take:
+                rows.append((int(qi[r]), int(ids[c]), round(float(s[c]), 6)))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64"}
+        )
+
+    partials = ds.map_batches(_partial_topk, batch_format="pandas", batch_size=4096)
+    df = partials.to_pandas()
+    # global reduce: per query, deterministic rank by (-sim, neighbor_id)
+    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True],
+                        kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    out = df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
+class HyperplaneLSH:
+    """Seeded random-hyperplane signatures: sign(R @ v) packed to an
+    integer bucket id per table."""
+
+    def __init__(self, dim: int, bits: int = 12, n_tables: int = 4, seed: int = 42):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.standard_normal((n_tables, bits, dim))
+        self.bits = bits
+        self.n_tables = n_tables
+
+    def buckets(self, mat: np.ndarray) -> np.ndarray:
+        """(n, n_tables) integer bucket ids."""
+        out = np.empty((mat.shape[0], self.n_tables), dtype=np.int64)
+        weights = 1 << np.arange(self.bits, dtype=np.int64)
+        for t in range(self.n_tables):
+            signs = (self.planes[t] @ mat.T) > 0  # (bits, n)
+            out[:, t] = (signs.T @ weights) + (t << 48)
+        return out
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Approximate top-k via hyperplane-LSH candidate filtering +
+    exact cosine re-rank.  Same output contract as ``knn_bruteforce``."""
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    dim = qmat.shape[1]
+    lsh = HyperplaneLSH(dim, bits, n_tables, seed)
+    q_buckets = lsh.buckets(qmat)  # (Q, T)
+    shared = ray.put((qmat, qids, q_buckets, lsh))
+
+    def _candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qi, qb, h = ray.get(shared)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]]))
+        bks = h.buckets(mat)  # (B, T)
+        sims = qm @ mat.T  # (Q, B)
+        out_rows = []
+        for r in range(qm.shape[0]):
+            # candidate = shares ≥1 bucket with this query, any table
+            share = (bks == qb[r][None, :]).any(axis=1)
+            if exclude_self:
+                share &= ids != qi[r]
+            cand = np.nonzero(share)[0]
+            if cand.size == 0:
+                continue
+            s = sims[r]
+            take = cand[np.argsort(-s[cand], kind="stable")[: k]]
+            for c in take:
+                out_rows.append((int(qi[r]), int(ids[c]), round(float(s[c]), 6)))
+        return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64"}
+        )
+
+    partials = ds.map_batches(_candidates, batch_format="pandas", batch_size=4096)
+    df = partials.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "neighbor_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
+    df = df.drop_duplicates(["query_id", "neighbor_id"])
+    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True],
+                        kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]].reset_index(drop=True).astype("int64")

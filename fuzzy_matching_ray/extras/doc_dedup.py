@@ -1,0 +1,206 @@
+"""Deduplication operators over generic document tables (doc_id, text)
+— the training-data-pipeline dedup family, each reusing the engine's
+channel machinery:
+
+* exact dedup          — sha256 groupby, min doc_id survivor
+* MinHash + LSH        — the flagship channel applied to documents
+* SimHash              — 64-bit bands
+* n-gram Jaccard       — exact word-set similarity within a blocking
+                         key (integer inter/union sizes → SQL oracle)
+* embedding cosine     — near-dup pairs over a ``list<float>`` column
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from fuzzy_matching_ray.config import PipelineConfig
+from fuzzy_matching_ray.pipelines.dedup import DedupResult  # noqa: F401  (re-export convenience)
+from fuzzy_matching_ray.stages.canonicalize import canonicalize_documents
+from fuzzy_matching_ray.stages.exact_dedup import add_text_hash
+from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+from fuzzy_matching_ray.stages.minhash import (
+    candidate_pairs_from_buckets,
+    dedup_pairs,
+    minhash_band_rows,
+)
+from fuzzy_matching_ray.stages.simhash import simhash_band_rows
+from fuzzy_matching_ray.stages.union_find import connected_components
+from fuzzy_matching_ray.stages.verify import verify_pairs
+
+
+def _as_conv(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": b[id_col].cast(pa.string()), "doc_text": b[text_col]})
+
+    return ds.map_batches(_rename, batch_format="pyarrow")
+
+
+def exact_dedup_docs(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """One survivor per identical text: (doc_id=min id, text)."""
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col], text_col: b[text_col]})
+
+    hashed = ds.map_batches(_prep, batch_format="pyarrow").map_batches(
+        lambda b: add_text_hash(b, text_col), batch_format="pyarrow"
+    )
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_sha256", id_col], kind="mergesort")
+        return df[~df["text_sha256"].duplicated()][[id_col, text_col]]
+
+    return bucketed_group_apply(hashed, "text_sha256", _first, 32)
+
+
+def minhash_dedup_docs(
+    ds: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """MinHash/LSH near-dup clusters over a document table:
+    (doc_id, cluster_id)."""
+    cfg = cfg or PipelineConfig(num_partitions=8)
+    docs = canonicalize_documents(_as_conv(ds, id_col, text_col), cfg).materialize()
+    n = docs.count()
+    band_rows = minhash_band_rows(docs, cfg)
+    pairs = dedup_pairs(
+        candidate_pairs_from_buckets(band_rows, cfg, "minhash", cfg.num_partitions),
+        cfg.num_partitions,
+    )
+    edges = verify_pairs(pairs, docs, cfg, doc_count=n)
+    clusters = connected_components(
+        docs.select_columns(["conv_id"]), edges, num_partitions=cfg.num_partitions
+    )
+    return clusters.map_batches(
+        lambda b: pa.table({id_col: b["conv_id"], "cluster_id": b["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+
+def simhash_dedup_docs(
+    ds: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """SimHash-banded near-dup clusters: (doc_id, cluster_id)."""
+    cfg = cfg or PipelineConfig(num_partitions=8)
+    docs = canonicalize_documents(_as_conv(ds, id_col, text_col), cfg).materialize()
+    n = docs.count()
+    rows = simhash_band_rows(docs, cfg)
+    pairs = dedup_pairs(
+        candidate_pairs_from_buckets(rows, cfg, "simhash", cfg.num_partitions),
+        cfg.num_partitions,
+    )
+    edges = verify_pairs(pairs, docs, cfg, doc_count=n)
+    clusters = connected_components(
+        docs.select_columns(["conv_id"]), edges, num_partitions=cfg.num_partitions
+    )
+    return clusters.map_batches(
+        lambda b: pa.table({id_col: b["conv_id"], "cluster_id": b["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio_pct: int = 30,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact word-set Jaccard similar pairs *within a blocking key*.
+
+    Integer contract (oracle-friendly): emits
+    ``(src, dst, inter_size, union_size)`` for pairs with
+    ``100*inter >= min_ratio_pct*union`` — float-free, so a DuckDB
+    oracle hashes identically.  Tokens are the distinct lowercase
+    whitespace tokens of trimmed text.
+    """
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "block": b[block_col].cast(pa.string()),
+                "id": b[id_col].cast(pa.int64()),
+                "text": b[text_col],
+            }
+        )
+
+    slim = ds.map_batches(_prep, batch_format="pyarrow")
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_src: list[int] = []
+        out_dst: list[int] = []
+        out_i: list[int] = []
+        out_u: list[int] = []
+        for _, g in df.groupby("block", sort=False):
+            ids = g["id"].to_numpy()
+            toks = [set((t or "").strip().lower().split()) for t in g["text"]]
+            order = np.argsort(ids)
+            for ai in range(len(order)):
+                a = order[ai]
+                for bi in range(ai + 1, len(order)):
+                    b_ = order[bi]
+                    inter = len(toks[a] & toks[b_])
+                    union = len(toks[a] | toks[b_])
+                    if union and 100 * inter >= min_ratio_pct * union:
+                        out_src.append(int(ids[a]))
+                        out_dst.append(int(ids[b_]))
+                        out_i.append(inter)
+                        out_u.append(union)
+        return pd.DataFrame(
+            {
+                "src": pd.Series(out_src, dtype="int64"),
+                "dst": pd.Series(out_dst, dtype="int64"),
+                "inter_size": pd.Series(out_i, dtype="int64"),
+                "union_size": pd.Series(out_u, dtype="int64"),
+            }
+        )
+
+    return bucketed_group_apply(slim, "block", _pairs, num_partitions)
+
+
+def embedding_cosine_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Embedding near-dup pairs: cosine ≥ threshold within a blocking
+    key (vectorized float64 matmul per block)."""
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(block_col, sort=False):
+            ids = g[id_col].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            for a, b in zip(iu[mask], ju[mask]):
+                s, d = int(ids[a]), int(ids[b])
+                if s > d:
+                    s, d = d, s
+                out.append((s, d))
+        if not out:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        out.sort()
+        return pd.DataFrame({"src": [a for a, _ in out], "dst": [b for _, b in out]}).astype("int64")
+
+    return bucketed_group_apply(ds, block_col, _pairs, num_partitions)

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The container has no image/audio libraries, so the *decode* kernels
+are stubbed (per the build brief): real formats raise
+``NotImplementedError``; a deterministic fake codec ("FMRB", a tiny
+self-describing header) makes the Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — real and testable.
+
+Stages are actor pools (``map_batches`` with a callable class): codec
+tables/"models" load once per actor in ``__init__``; batches stay in
+``batch_format="pyarrow"`` because binary columns don't round-trip
+pandas cleanly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_MAGIC = b"FMRB"  # deterministic fake image format: FMRB|u16 w|u16 h|payload
+
+
+def encode_fake_image(width: int, height: int, payload: bytes) -> bytes:
+    return _MAGIC + struct.pack("<HH", width, height) + payload
+
+
+def text_to_fake_binary(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Deterministic binary column derived from text (test harness for
+    the multimodal path; a real pipeline reads binary Parquet/files via
+    ``ray.data.read_binary_files``)."""
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        blobs = []
+        for t in texts:
+            payload = (t or "").encode()
+            w = (len(payload) % 640) + 1
+            h = (hashlib.blake2b(payload, digest_size=2).digest()[0] % 480) + 1
+            blobs.append(encode_fake_image(w, h, payload))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "media": pa.array(blobs, pa.binary()),
+                "media_type": pa.array(["image/x-fmrb"] * len(blobs), pa.string()),
+            }
+        )
+
+    return ds.map_batches(_enc, batch_format="pyarrow")
+
+
+class MediaDecodeStage:
+    """Actor-pool decode/feature-extract over a binary media column.
+
+    ``__init__`` is where a real pipeline loads its codec/model once
+    per actor.  ``__call__`` emits per-item metadata features.  Real
+    formats (JPEG/PNG/WAV/...) raise ``NotImplementedError`` — the
+    decode libraries are not in this container.
+    """
+
+    def __init__(self, allow_fake: bool = True):
+        self.allow_fake = allow_fake
+
+    def _decode(self, blob: bytes, media_type: str) -> tuple[int, int, int]:
+        if media_type == "image/x-fmrb" and self.allow_fake and blob[:4] == _MAGIC:
+            w, h = struct.unpack("<HH", blob[4:8])
+            return w, h, len(blob) - 8
+        raise NotImplementedError(
+            f"no decoder for {media_type!r} in this environment — "
+            "plug a real codec here (PIL/libav) on a full cluster image"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["media"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        n = len(blobs)
+        widths = np.empty(n, dtype=np.int32)
+        heights = np.empty(n, dtype=np.int32)
+        payload_bytes = np.empty(n, dtype=np.int64)
+        digests = []
+        for i, (b, t) in enumerate(zip(blobs, types)):
+            w, h, pb = self._decode(b, t)
+            widths[i] = w
+            heights[i] = h
+            payload_bytes[i] = pb
+            digests.append(hashlib.sha256(b).hexdigest()[:16])
+        id_col = batch.column_names[0]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "payload_bytes": pa.array(payload_bytes, pa.int64()),
+                "media_sha16": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def decode_media(
+    ds: ray.data.Dataset,
+    *,
+    batch_size: int = 64,   # small: binary payloads are large
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Feature-extract a media Dataset.  Batch size deliberately small
+    (large binary rows; see the memory-aware sizing note in the brief)."""
+    return ds.map_batches(
+        MediaDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )

@@ -1,0 +1,193 @@
+"""Text-analysis operators over document tables (training-data
+pipeline components; no reference equivalent — built to the brief).
+
+All are stateless, vectorized ``map_batches`` stages.  The counting
+operators are defined with *integer* outputs and tokenization rules
+that an ANSI-SQL oracle can reproduce exactly (see
+``__ray_entry__.oracle_sql``), so the driver's value-hash comparison
+is float-free.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# --- token counting --------------------------------------------------------
+
+_WS_TOKEN = re.compile(r"\s+")
+_BPEISH = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def token_counts(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Per-document token counts: whitespace tokens and a BPE-ish
+    regex tokenization (``\\w+|[^\\w\\s]``), plus char count."""
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ws = np.fromiter(
+            (len([t for t in _WS_TOKEN.split(s.strip()) if t]) if s else 0 for s in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        bpe = np.fromiter(
+            (len(_BPEISH.findall(s)) if s else 0 for s in texts), dtype=np.int64, count=len(texts)
+        )
+        n_chars = pc.utf8_length(batch[text_col]).cast(pa.int64())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(ws, pa.int64()),
+                "n_tokens_bpe": pa.array(bpe, pa.int64()),
+                "n_chars_calc": n_chars,
+            }
+        )
+
+    return ds.map_batches(_counts, batch_format="pyarrow")
+
+
+# --- quality scoring -------------------------------------------------------
+
+_PUNCT = re.compile(r"[^A-Za-z0-9\s]")
+_DIGIT = re.compile(r"[0-9]")
+_UPPER = re.compile(r"[A-Z]")
+
+# small multilingual stopword sets for the language-ID heuristic
+_STOPWORDS = {
+    "en": {"the", "of", "and", "a", "to", "in", "is", "it", "that", "for", "with", "on", "as"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "du"},
+    "es": {"el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "para", "en", "del"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "für", "auf", "den"},
+    "ru": {"и", "в", "не", "на", "что", "с", "по", "это", "как", "его", "для"},
+}
+
+
+def quality_stats(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Integer quality metrics per document: char/punct/digit/upper
+    counts and whitespace token count — the inputs to any downstream
+    quality filter, kept integer-valued for oracle parity."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        punct = np.empty(n, dtype=np.int64)
+        digit = np.empty(n, dtype=np.int64)
+        upper = np.empty(n, dtype=np.int64)
+        toks = np.empty(n, dtype=np.int64)
+        for i, s in enumerate(texts):
+            s = s or ""
+            punct[i] = len(_PUNCT.findall(s))
+            digit[i] = len(_DIGIT.findall(s))
+            upper[i] = len(_UPPER.findall(s))
+            toks[i] = len([t for t in _WS_TOKEN.split(s.strip()) if t])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars_calc": pc.utf8_length(batch[text_col]).cast(pa.int64()),
+                "n_punct": pa.array(punct, pa.int64()),
+                "n_digits": pa.array(digit, pa.int64()),
+                "n_upper": pa.array(upper, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def language_id(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Stopword/char-class language-ID heuristic: CJK chars → zh;
+    Cyrillic-dominant → ru; else argmax stopword hits over
+    {en, fr, es, de} with 'und' (undetermined) fallback."""
+
+    def _lang(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s in batch[text_col]:
+            s = s or ""
+            if any("一" <= c <= "鿿" for c in s[:400]):
+                out.append("zh")
+                continue
+            letters = [c for c in s[:2000] if c.isalpha()]
+            if letters and sum("а" <= c.lower() <= "я" for c in letters) / len(letters) > 0.5:
+                out.append("ru")
+                continue
+            toks = set(s.lower().split())
+            best, best_hits = "und", 0
+            for lang in ("en", "fr", "es", "de"):
+                hits = len(toks & _STOPWORDS[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            out.append(best)
+        return pd.DataFrame({id_col: batch[id_col], "lang_pred": out})
+
+    return ds.map_batches(_lang, batch_format="pandas")
+
+
+# --- document fingerprinting ----------------------------------------------
+
+
+class FingerprintStage:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    k-gram rolling hashes, minimum per sliding window — an actor-pool
+    stage (window/k fixed per actor)."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k = k
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fuzzy_matching_ray.hashing import char_shingle_hashes, codepoints, _splitmix64, _POLY_BASE
+
+        ids = batch["doc_id"] if "doc_id" in batch.column_names else batch[batch.column_names[0]]
+        texts = batch["text"].to_pylist()
+        n_fp = np.empty(len(texts), dtype=np.int64)
+        fp_min = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            cps = codepoints(t)
+            if cps.size < self.k:
+                n_fp[i] = 0
+                fp_min[i] = 0
+                continue
+            # ordered k-gram hashes (not unique — winnowing needs positions)
+            m = cps.size - self.k + 1
+            with np.errstate(over="ignore"):
+                acc = np.zeros(m, dtype=np.uint64)
+                powers = np.empty(self.k, dtype=np.uint64)
+                powers[-1] = np.uint64(1)
+                for j in range(self.k - 2, -1, -1):
+                    powers[j] = powers[j + 1] * _POLY_BASE
+                for j in range(self.k):
+                    acc = acc + cps[j : j + m] * powers[j]
+            hashes = _splitmix64(acc)
+            if m <= self.window:
+                sel = np.array([hashes.argmin()])
+            else:
+                # sliding-window minima via stride tricks
+                sw = np.lib.stride_tricks.sliding_window_view(hashes, self.window)
+                sel = np.unique(sw.argmin(axis=1) + np.arange(sw.shape[0]))
+            fps = np.unique(hashes[sel])
+            n_fp[i] = fps.size
+            fp_min[i] = fps.min() if fps.size else 0
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_fingerprints": pa.array(n_fp, pa.int64()),
+                "fingerprint_min": pa.array(fp_min, pa.uint64()),
+            }
+        )
+
+
+def fingerprints(ds: ray.data.Dataset, k: int = 8, window: int = 16) -> ray.data.Dataset:
+    return ds.map_batches(
+        FingerprintStage,
+        fn_constructor_args=(k, window),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
