@@ -105,18 +105,28 @@ def minhash_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _mod_mersenne61(v: np.ndarray) -> np.ndarray:
+    """x mod (2^61-1) via shift-add (no hardware division): for
+    v < 2^64, (v & M) + (v >> 61) < 2^61 + 8, one conditional subtract
+    finishes the reduction.  ~3× faster than ``%`` on large arrays."""
+    y = (v & MERSENNE_61) + (v >> np.uint64(61))
+    return np.where(y >= MERSENNE_61, y - MERSENNE_61, y)
+
+
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """MinHash signature: min over shingles of (a*x + b) mod p, per perm.
 
     ``shingles`` are 32-bit values in uint64; products a*x < 2^63 are
-    exact.  Empty shingle sets get the all-max signature (matches
-    nothing).
+    exact (a < 2^31), and a*x + b < 2^64, so the shift-add Mersenne
+    reduction is exact too.  Empty shingle sets get the all-max
+    signature (matches nothing).
     """
     num_perm = a.size
     if shingles.size == 0:
         return np.full(num_perm, MERSENNE_61, dtype=np.uint64)
     # (num_perm, n) — fine for n up to ~100k shingles at num_perm=128
-    vals = (a[:, None] * shingles[None, :] + b[:, None]) % MERSENNE_61
+    with np.errstate(over="ignore"):
+        vals = _mod_mersenne61(a[:, None] * shingles[None, :] + b[:, None])
     return vals.min(axis=1)
 
 
@@ -127,14 +137,21 @@ def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     mix + splitmix64 finalizer, so equal bands ⇒ equal keys and unequal
     bands collide with ~2^-64 probability.
     """
-    rows = sig.size // bands
-    banded = sig.reshape(bands, rows)
+    return band_hashes_matrix(sig.reshape(1, -1), bands)[0]
+
+
+def band_hashes_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized ``band_hashes`` over a (n_docs, num_perm) signature
+    matrix → (n_docs, bands) band keys (bit-identical per row)."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    banded = sigs.reshape(n, bands, rows)
     with np.errstate(over="ignore"):
-        acc = np.zeros(bands, dtype=np.uint64)
+        acc = np.zeros((n, bands), dtype=np.uint64)
         for j in range(rows):
-            acc = acc * _POLY_BASE + banded[:, j]
+            acc = acc * _POLY_BASE + banded[:, :, j]
         # mix in the band index so band 0's key space differs from band 1's
-        acc = acc + np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        acc = acc + np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x9E3779B97F4A7C15)
     return _splitmix64(acc)
 
 

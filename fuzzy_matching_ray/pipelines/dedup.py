@@ -29,6 +29,7 @@ from fuzzy_matching_ray.stages.assemble import assemble_documents
 from fuzzy_matching_ray.stages.canonicalize import canonicalize_documents
 from fuzzy_matching_ray.stages.exact_dedup import add_text_hash, drop_exact_dups, exact_dup_edges
 from fuzzy_matching_ray.stages.minhash import (
+    compute_signatures,
     candidate_pairs_from_buckets,
     dedup_pairs,
     minhash_band_rows,
@@ -85,10 +86,16 @@ def dedup_transcripts(
     uniq_docs = drop_exact_dups(docs, cfg.num_partitions).materialize()
     metrics["unique_docs"] = uniq_docs.count()
 
+    # MinHash signatures are computed exactly once (narrow conv_id+sig
+    # dataset) and reused by band generation AND the verifier's
+    # estimate gate — recomputing them per verifier actor would
+    # dominate the verify stage
+    sigs = compute_signatures(uniq_docs, cfg).materialize() if "minhash" in channels else None
+
     # candidate generation channels over unique docs
     pair_sets = []
     if "minhash" in channels:
-        band_rows = minhash_band_rows(uniq_docs, cfg)
+        band_rows = minhash_band_rows(sigs, cfg)
         pair_sets.append(candidate_pairs_from_buckets(band_rows, cfg, "minhash", cfg.num_partitions))
     if "simhash" in channels:
         srows = simhash_band_rows(uniq_docs, cfg)
@@ -121,7 +128,7 @@ def dedup_transcripts(
     # verification
     def _edges() -> ray.data.Dataset:
         verified = verify_pairs(
-            uniq_pairs, uniq_docs, cfg, doc_count=metrics["unique_docs"]
+            uniq_pairs, uniq_docs, cfg, doc_count=metrics["unique_docs"], sigs=sigs
         )
         return verified.union(exact_edges)
 

@@ -49,7 +49,14 @@ PAIR_SCHEMA = pa.schema(
 
 
 class MinHashSignatures:
-    """Stateful signature stage: permutations built once per actor."""
+    """Stateful signature stage: permutations built once per actor.
+
+    Appends a ``sig`` FixedSizeList<uint64>[num_perm] column to the doc
+    batch.  Signatures are computed exactly ONCE here and reused by
+    both band generation (cheap vectorized mix) and the verifier's
+    estimate gate — recomputing them per verifier actor would dominate
+    the verify stage (every actor sees pairs spanning the corpus).
+    """
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
@@ -58,26 +65,25 @@ class MinHashSignatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text_canon"].to_pylist()
         k = self.cfg.shingle_k
-        bands = self.cfg.bands
         n = len(texts)
-        out = np.empty((n, bands), dtype=np.uint64)
+        out = np.empty((n, self.cfg.num_perm), dtype=np.uint64)
         for i, t in enumerate(texts):
             sh = char_shingle_hashes(t or "", k)
-            sig = minhash_signature(sh, self.a, self.b)
-            out[i] = band_hashes(sig, bands)
+            out[i] = minhash_signature(sh, self.a, self.b)
         return pa.table(
             {
                 "conv_id": batch["conv_id"],
-                "band_keys": pa.FixedSizeListArray.from_arrays(
-                    pa.array(out.reshape(-1), pa.uint64()), bands
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(out.reshape(-1), pa.uint64()), self.cfg.num_perm
                 ),
             }
         )
 
 
-def minhash_band_rows(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
-    """docs(conv_id, text_canon) → (band_key, conv_id) rows."""
-    sigs = docs.select_columns(["conv_id", "text_canon"]).map_batches(
+def compute_signatures(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+    """docs(conv_id, text_canon, …) → narrow ``(conv_id, sig)`` dataset
+    (actor pool; only the two needed columns leave the doc store)."""
+    return docs.select_columns(["conv_id", "text_canon"]).map_batches(
         MinHashSignatures,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
@@ -85,24 +91,37 @@ def minhash_band_rows(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
         concurrency=(1, cfg.sig_concurrency),
         num_cpus=1,
     )
-    return explode_bands(sigs, cfg.bands)
 
 
-def explode_bands(sigs: ray.data.Dataset, bands: int) -> ray.data.Dataset:
+def sig_matrix(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
+    """FixedSizeList<uint64> column → (n, num_perm) uint64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, num_perm)
+
+
+def minhash_band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+    """sigs(conv_id, sig) → (band_key, conv_id) rows (stateless:
+    band keys are a vectorized mix over the signature matrix)."""
+    bands, num_perm = cfg.bands, cfg.num_perm
+
     def _explode(batch: pa.Table) -> pa.Table:
+        from fuzzy_matching_ray.hashing import band_hashes_matrix
+
         n = batch.num_rows
-        keys = batch["band_keys"]
-        flat = keys.combine_chunks().flatten() if isinstance(keys, pa.ChunkedArray) else keys.flatten()
-        conv = batch["conv_id"]
+        keys = band_hashes_matrix(sig_matrix(batch["sig"], num_perm), bands)
         idx = np.repeat(np.arange(n, dtype=np.int64), bands)
         return pa.table(
             {
-                "band_key": flat,
-                "conv_id": conv.take(pa.array(idx)),
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                "conv_id": batch["conv_id"].take(pa.array(idx)),
             }
         )
 
-    return sigs.map_batches(_explode, batch_format="pyarrow")
+    return sigs.select_columns(["conv_id", "sig"]).map_batches(
+        _explode, batch_format="pyarrow"
+    )
 
 
 def _bucket_pairs(ids: list[str], max_bucket: int, channel: str) -> pd.DataFrame:
@@ -160,23 +179,54 @@ def candidate_pairs_from_buckets(
     max_bucket = cfg.max_band_bucket
 
     def _pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df["band_key"].value_counts()
-        hot = counts[counts > 1]
-        if hot.empty:
-            return pd.DataFrame(
-                {
-                    "src": pd.Series(dtype=object),
-                    "dst": pd.Series(dtype=object),
-                    "channel": pd.Series(dtype=object),
-                    "bucket_size": pd.Series(dtype="int32"),
-                }
-            )
-        df = df[df["band_key"].isin(hot.index)]
-        outs = [
-            _bucket_pairs(list(ids), max_bucket, channel)
-            for _, ids in df.groupby("band_key", sort=False)["conv_id"]
-        ]
-        return pd.concat(outs, ignore_index=True)
+        """Vectorized pair emission for all bands in one coarse bucket.
+
+        Bands of equal size are processed together: their member ids
+        form a (n_groups, size) matrix and one ``triu_indices`` fancy-
+        index emits every within-band pair — no per-band Python loop.
+        Oversized (hot) bands fall back to the salted/capped path.
+        """
+        df = df.sort_values(["band_key", "conv_id"], kind="mergesort")
+        keys = df["band_key"].to_numpy()
+        ids = df["conv_id"].to_numpy()
+        # group boundaries over the sorted keys
+        boundary = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        sizes = np.diff(boundary)
+        starts = boundary[:-1]
+
+        src_parts: list[np.ndarray] = []
+        dst_parts: list[np.ndarray] = []
+        size_parts: list[np.ndarray] = []
+        hot_frames: list[pd.DataFrame] = []
+        # one vectorized emission per distinct group size (≤ max_bucket
+        # distinct values) instead of one Python call per band
+        for n in np.unique(sizes):
+            if n < 2:
+                continue
+            sel = starts[sizes == n]
+            if n > max_bucket:
+                for s in sel:
+                    hot_frames.append(_bucket_pairs(list(ids[s : s + n]), max_bucket, channel))
+                continue
+            mat = ids[sel[:, None] + np.arange(n)[None, :]]  # (g, n)
+            iu, ju = np.triu_indices(n, k=1)
+            src_parts.append(mat[:, iu].ravel())
+            dst_parts.append(mat[:, ju].ravel())
+            size_parts.append(np.full(len(sel) * iu.size, n, dtype=np.int32))
+
+        cold = pd.DataFrame(
+            {
+                "src": np.concatenate(src_parts) if src_parts else np.empty(0, dtype=object),
+                "dst": np.concatenate(dst_parts) if dst_parts else np.empty(0, dtype=object),
+                "channel": channel,
+                "bucket_size": np.concatenate(size_parts)
+                if size_parts
+                else np.empty(0, dtype=np.int32),
+            }
+        )
+        if hot_frames:
+            return pd.concat([cold, *hot_frames], ignore_index=True)
+        return cold
 
     return bucketed_group_apply(band_rows, "band_key", _pairs_bucket, num_partitions)
 
@@ -185,32 +235,34 @@ def dedup_pairs(pairs: ray.data.Dataset, num_partitions: int = 64) -> ray.data.D
     """Normalize (src,dst) to (min,max) and keep one row per pair
     across bands/channels (shuffle #3; priority
     exact > substring > minhash > simhash decides the surviving
-    channel tag).  Vectorized drop_duplicates per hash bucket."""
+    channel tag).  Bucketing on ``src`` alone co-locates every copy of
+    a pair (same (src,dst) ⇒ same bucket), so no concatenated pair-key
+    string is ever built; dedup is a vectorized two-column
+    ``drop_duplicates`` per bucket."""
     prio = {"exact": 0, "substring": 1, "minhash": 2, "simhash": 3}
 
     def _norm(batch: pa.Table) -> pa.Table:
-        src = np.asarray(batch["src"].to_pylist(), dtype=object)
-        dst = np.asarray(batch["dst"].to_pylist(), dtype=object)
-        lo = np.minimum(src, dst)
-        hi = np.maximum(src, dst)
-        keep = lo != hi
-        # single-column key so the bucketed apply hashes one column
-        pair_key = np.char.add(np.char.add(lo[keep].astype(str), "\x1f"), hi[keep].astype(str))
+        import pyarrow.compute as pc
+
+        src = batch["src"]
+        dst = batch["dst"]
+        lo = pc.min_element_wise(src, dst)
+        hi = pc.max_element_wise(src, dst)
+        keep = pc.not_equal(lo, hi)
         return pa.table(
             {
-                "pair_key": pa.array(pair_key, pa.string()),
-                "src": pa.array(lo[keep], pa.string()),
-                "dst": pa.array(hi[keep], pa.string()),
-                "channel": batch["channel"].filter(pa.array(keep)),
-                "bucket_size": batch["bucket_size"].filter(pa.array(keep)),
+                "src": lo.filter(keep),
+                "dst": hi.filter(keep),
+                "channel": batch["channel"].filter(keep),
+                "bucket_size": batch["bucket_size"].filter(keep),
             }
         )
 
     def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(_prio=df["channel"].map(prio).fillna(9))
-        df = df.sort_values(["pair_key", "_prio"], kind="mergesort")
-        df = df[~df["pair_key"].duplicated()]
-        return df.drop(columns=["pair_key", "_prio"])
+        df = df.sort_values(["src", "dst", "_prio"], kind="mergesort")
+        df = df.drop_duplicates(subset=["src", "dst"], keep="first")
+        return df.drop(columns=["_prio"])
 
     normed = pairs.map_batches(_norm, batch_format="pyarrow")
-    return bucketed_group_apply(normed, "pair_key", _dedup_bucket, num_partitions)
+    return bucketed_group_apply(normed, "src", _dedup_bucket, num_partitions)

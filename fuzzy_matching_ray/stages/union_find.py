@@ -60,12 +60,16 @@ def connected_components(
 ) -> ray.data.Dataset:
     """``nodes(conv_id)`` + ``edges(src,dst)`` → ``(conv_id, cluster_id)``
     with cluster_id = min conv_id of the component."""
-    sym = _sym_edges(edges).materialize()
+    # bound the block count before iterating: upstream stages (verify
+    # over millions of candidate pairs) can leave `edges` as hundreds of
+    # tiny blocks, and per-round cost is dominated by task-per-block
+    # overhead, not data volume
+    sym = _sym_edges(edges).repartition(num_partitions).materialize()
 
     labels = nodes.map_batches(
         lambda b: pa.table({"node": b["conv_id"], "label": b["conv_id"]}),
         batch_format="pyarrow",
-    ).materialize()
+    ).repartition(num_partitions).materialize()
 
     for _ in range(max_rounds):
         # --- stage 1: labels ⋈ adjacency → messages -------------------
