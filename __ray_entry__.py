@@ -28,10 +28,13 @@ _CACHE_ROOT = "/tmp/fmr_cache"
 
 
 def _transcripts_dir(sf_dir: str) -> str:
+    import re
+
     from fuzzy_matching_ray.datagen import TranscriptGenConfig, write_transcripts
 
     sf = os.path.basename(os.path.normpath(sf_dir))
-    n = _SF_CONVS.get(sf, 200)
+    m = re.fullmatch(r"scale(\d+)", sf)
+    n = int(m.group(1)) if m else _SF_CONVS.get(sf, 200)
     out = os.path.join(_CACHE_ROOT, f"transcripts_{sf}")
     return write_transcripts(out, TranscriptGenConfig(n_convs=n, seed=42))
 

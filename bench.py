@@ -7,10 +7,14 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
     {"metric": "...", "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
 
-``--scaling`` runs the headline pipeline in two fresh processes
+``--scaling`` runs the flagship dedup pipeline in two fresh processes
 (num_cpus=8 and 32) on the same input and reports throughput at both
 plus the scaling efficiency (the sandbox proxy for the N vs 4N
-cluster-size criterion — BASELINE.md).
+cluster-size criterion — BASELINE.md).  The scaling input is a larger
+synthetic transcript table (``$FMR_SCALING_CONVS`` conversations,
+default 24000, cached) so scalable compute — not fixed per-session
+overhead — dominates the measurement, mirroring the saturated
+multi-node regime the criterion targets.
 """
 
 from __future__ import annotations
@@ -83,10 +87,48 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _run_subprocess(ncpu: int, sf_dir: str) -> dict:
+def _dedup_only(sf_dir: str, num_cpus: int) -> dict:
+    """Flagship dedup alone (child process of ``--scaling``)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    turns_dir = entrymod._transcripts_dir(sf_dir)
+    n_turns = rd.read_parquet(turns_dir).count()  # warm page cache, untimed
+    t0 = time.time()
+    res = dedup_transcripts(rd.read_parquet(turns_dir), entrymod._pipeline_cfg())
+    n_clusters = res.representatives.count()
+    sec = time.time() - t0
+    ray.shutdown()
+    return {
+        "value": round(sec, 3),
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "n_clusters": int(n_clusters),
+        "turns_per_sec": round(n_turns / sec, 1),
+    }
+
+
+def _run_subprocess(ncpu: int, sf_dir: str, extra_args: list[str] | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
+        [sys.executable, os.path.abspath(__file__), *(extra_args or [])],
         env=env,
         capture_output=True,
         text=True,
@@ -98,10 +140,17 @@ def _run_subprocess(ncpu: int, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--dedup-only" in sys.argv:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(_dedup_only(sf_dir, ncpu)))
+        return
     if "--scaling" in sys.argv:
+        n_convs = int(os.environ.get("FMR_SCALING_CONVS", "24000"))
+        scale_dir = f"/tmp/fmr_cache/scale{n_convs}"
+        os.makedirs(scale_dir, exist_ok=True)
         lo, hi = 8, 32
-        r_lo = _run_subprocess(lo, sf_dir)
-        r_hi = _run_subprocess(hi, sf_dir)
+        r_lo = _run_subprocess(lo, scale_dir, ["--dedup-only"])
+        r_hi = _run_subprocess(hi, scale_dir, ["--dedup-only"])
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(
             json.dumps(
@@ -112,7 +161,8 @@ def main() -> None:
                     "turns_per_sec_8": r_lo["turns_per_sec"],
                     "turns_per_sec_32": r_hi["turns_per_sec"],
                     "scaling_efficiency": round(eff, 3),
-                    "sf": r_hi["sf"],
+                    "n_convs": n_convs,
+                    "n_turns": r_hi["n_turns"],
                 }
             )
         )

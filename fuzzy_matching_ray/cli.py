@@ -1,0 +1,217 @@
+"""Command-line entry points (reference surface:
+``cli/process_data.py:222-338`` modes ``match`` / ``transliterate`` /
+``generate``, plus our flagship ``dedup`` and ``generate-transcripts``).
+
+Run as ``python -m fuzzy_matching_ray.cli <mode> ...``.  This is the
+only module (besides bench.py and the test fixture) that owns a Ray
+session; the library never calls ``ray.init``.
+
+The ``--fields`` grammar mirrors the reference's
+``parse_match_fields`` (``cli/process_data.py:178-219``):
+``field:weight[:translit[:algorithm]]`` items separated by commas,
+e.g. ``last_name:0.4:true:token_sort,first_name:0.3``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_match_fields(spec: str):
+    """``field:weight[:translit[:algo]]`` CSV grammar → field configs
+    (reference ``parse_match_fields``, ``cli/process_data.py:178-219``)."""
+    from fuzzy_matching_ray.config import FuzzyAlgorithm, MatchFieldConfig
+
+    out = []
+    for item in spec.split(","):
+        parts = item.strip().split(":")
+        if not parts or not parts[0]:
+            continue
+        field = parts[0]
+        weight = float(parts[1]) if len(parts) > 1 and parts[1] else 1.0
+        translit = len(parts) > 2 and parts[2].strip().lower() in ("true", "1", "yes")
+        algo = None
+        if len(parts) > 3 and parts[3]:
+            try:
+                algo = FuzzyAlgorithm(parts[3].strip().lower())
+            except ValueError:
+                algo = None  # unknown algorithm falls back (reference behavior)
+        out.append(MatchFieldConfig(field, weight, translit, algo))
+    return tuple(out)
+
+
+def parse_name_fields(spec: str | None) -> dict[str, str] | None:
+    """``source=target`` comma list → rename mapping (reference
+    ``parse_name_fields``, ``cli/process_data.py:137-175``)."""
+    if not spec:
+        return None
+    out = {}
+    for item in spec.split(","):
+        if "=" in item:
+            src, tgt = item.split("=", 1)
+            out[src.strip()] = tgt.strip()
+    return out or None
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_match(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from fuzzy_matching_ray.config import MatchConfig
+    from fuzzy_matching_ray.pipelines.record_match import match_records
+    from fuzzy_matching_ray.sources.io import load_dataset, write_dataset
+
+    cfg = MatchConfig(
+        fields=parse_match_fields(args.fields),
+        threshold=args.threshold,
+        block_field=args.block_field,
+        sort_before_match=True,
+    )
+    name_fields = parse_name_fields(args.name_fields)
+    ds1 = load_dataset(args.input1, args.format, name_fields)
+    ds2 = load_dataset(args.input2, args.format, name_fields)
+    matches = match_records(ds1, ds2, cfg)
+    write_dataset(matches, args.output, args.output_format)
+    print(f"matches written to {args.output}")
+    return 0
+
+
+def cmd_transliterate(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from fuzzy_matching_ray.pipelines.record_match import transliterate_dataset
+    from fuzzy_matching_ray.sources.io import load_dataset, write_dataset
+
+    ds = load_dataset(args.input, args.format, parse_name_fields(args.name_fields))
+    out = transliterate_dataset(
+        ds, args.target_lang, args.fields.split(","), standard=args.standard
+    )
+    write_dataset(out, args.output, args.output_format)
+    print(f"transliterated dataset written to {args.output}")
+    return 0
+
+
+def cmd_generate(args: argparse.Namespace) -> int:
+    """Person-record pair generator (reference ``--mode generate``,
+    ``cli/process_data.py:368-474``) — no Ray needed."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matching_ray.datagen import (
+        PersonGenConfig,
+        generate_person_records,
+        person_records_table,
+    )
+
+    orig, var = generate_person_records(
+        PersonGenConfig(n_records=args.count, language=args.language, seed=args.seed)
+    )
+    pq.write_table(person_records_table(orig), args.output_original)
+    pq.write_table(person_records_table(var), args.output_variant)
+    print(f"{args.count} record pairs → {args.output_original}, {args.output_variant}")
+    return 0
+
+
+def cmd_generate_transcripts(args: argparse.Namespace) -> int:
+    from fuzzy_matching_ray.datagen import TranscriptGenConfig, write_transcripts
+
+    out = write_transcripts(
+        args.output, TranscriptGenConfig(n_convs=args.count, seed=args.seed)
+    )
+    print(f"transcripts → {out}")
+    return 0
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """Flagship near-dup pipeline over a transcripts Parquet directory."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fuzzy_matching_ray.config import PipelineConfig
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    cfg = PipelineConfig(
+        num_partitions=args.num_partitions,
+        workdir=args.workdir,
+    )
+    channels = tuple(args.channels.split(","))
+    res = dedup_transcripts(rd.read_parquet(args.input), cfg, channels=channels)
+    res.clusters.write_parquet(args.output + "/clusters")
+    res.representatives.write_parquet(args.output + "/representatives")
+    res.edges.write_parquet(args.output + "/edges")
+    print(json.dumps(res.metrics))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fuzzy_matching_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    m = sub.add_parser("match", help="match two datasets (reference --mode match)")
+    m.add_argument("--input1", required=True)
+    m.add_argument("--input2", required=True)
+    m.add_argument("--fields", required=True, help="field:weight[:translit[:algo]],...")
+    m.add_argument("--threshold", type=float, default=0.7)
+    m.add_argument("--block-field", default=None)
+    m.add_argument("--name-fields", default=None, help="src=tgt,...")
+    m.add_argument("--format", default=None)
+    m.add_argument("--output", required=True)
+    m.add_argument("--output-format", default="parquet")
+    m.set_defaults(fn=cmd_match)
+
+    t = sub.add_parser("transliterate", help="transliterate columns (reference mode)")
+    t.add_argument("--input", required=True)
+    t.add_argument("--fields", required=True, help="comma-separated column names")
+    t.add_argument("--target-lang", required=True, choices=["ru", "en"])
+    t.add_argument("--standard", default="Passport")
+    t.add_argument("--name-fields", default=None)
+    t.add_argument("--format", default=None)
+    t.add_argument("--output", required=True)
+    t.add_argument("--output-format", default="parquet")
+    t.set_defaults(fn=cmd_transliterate)
+
+    g = sub.add_parser("generate", help="synthetic person-record pairs (reference mode)")
+    g.add_argument("--count", type=int, default=100)
+    g.add_argument("--language", default="mixed", choices=["ru", "en", "mixed"])
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--output-original", required=True)
+    g.add_argument("--output-variant", required=True)
+    g.set_defaults(fn=cmd_generate)
+
+    gt = sub.add_parser("generate-transcripts", help="synthetic transcripts table + truth")
+    gt.add_argument("--count", type=int, default=1000, help="number of base conversations")
+    gt.add_argument("--seed", type=int, default=42)
+    gt.add_argument("--output", required=True)
+    gt.set_defaults(fn=cmd_generate_transcripts)
+
+    d = sub.add_parser("dedup", help="near-dup detection + clustering (flagship)")
+    d.add_argument("--input", required=True, help="transcripts Parquet dir")
+    d.add_argument("--output", required=True)
+    d.add_argument("--workdir", default=None, help="checkpoint dir (resume)")
+    d.add_argument("--channels", default="minhash")
+    d.add_argument("--num-partitions", type=int, default=16)
+    d.set_defaults(fn=cmd_dedup)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    code = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

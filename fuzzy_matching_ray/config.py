@@ -117,8 +117,13 @@ class PipelineConfig:
     # suffix-array channel
     min_substring_len: int = 64
 
-    # skew handling
-    max_band_bucket: int = 64  # buckets larger than this get salted/capped
+    # skew handling: buckets larger than max_band_bucket are salted
+    # into sorted chunks; each bucket emits at most max_pairs_per_bucket
+    # cross pairs (further chunks add only chain-link candidates).  A
+    # band shared by thousands of docs is boilerplate ("stopword band")
+    # — its cross pairs are both quadratic and uninformative, and every
+    # skipped pair is accounted in the dropped-pairs metric.
+    max_band_bucket: int = 64
     max_pairs_per_bucket: int = 2016  # C(64,2)
 
     # verification: accept a pair if shingle Jaccard >= jaccard_threshold,

@@ -82,13 +82,20 @@ class MinHashSignatures:
 
 def compute_signatures(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
     """docs(conv_id, text_canon, …) → narrow ``(conv_id, sig)`` dataset
-    (actor pool; only the two needed columns leave the doc store)."""
+    (actor pool; only the two needed columns leave the doc store).
+
+    Fixed-size pool clamped to the cluster CPU count — see the
+    equivalent sizing note in ``verify_pairs``."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    pool = max(1, min(cfg.sig_concurrency, ncpu - 2))
     return docs.select_columns(["conv_id", "text_canon"]).map_batches(
         MinHashSignatures,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=(1, cfg.sig_concurrency),
+        concurrency=pool,
         num_cpus=1,
     )
 
@@ -124,8 +131,21 @@ def minhash_band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
     )
 
 
-def _bucket_pairs(ids: list[str], max_bucket: int, channel: str) -> pd.DataFrame:
-    """Deterministic pair emission for one bucket, with salting/caps."""
+def _bucket_pairs(
+    ids: list[str], max_bucket: int, channel: str, max_pairs: int = 1 << 62
+) -> pd.DataFrame:
+    """Deterministic pair emission for one hot bucket: salted chunks of
+    ``max_bucket``, a total pair budget of ``max_pairs``, chain links
+    between chunks.
+
+    A band key shared by thousands of documents is boilerplate (a
+    "stopword band") and carries almost no similarity signal — true
+    near-dup pairs collide in many *other*, doc-specific bands — so
+    chunks past the pair budget contribute only a chain-link candidate
+    each.  Every dropped cross pair is exactly accounted downstream as
+    C(n,2) − emitted (north_rule drop accounting); chain-link pairs are
+    still verified, so they can never create a spurious cluster edge.
+    """
     n = len(ids)
     if n < 2:
         return pd.DataFrame(
@@ -139,19 +159,16 @@ def _bucket_pairs(ids: list[str], max_bucket: int, channel: str) -> pd.DataFrame
     ids = sorted(ids)
     srcs: list[str] = []
     dsts: list[str] = []
+    emitted = 0
     for start in range(0, n, max_bucket):
         chunk = ids[start : start + max_bucket]
         m = len(chunk)
-        if m < 2:
-            # a trailing singleton chunk: link it to the first id so the
-            # cluster stays connected despite the cap
-            srcs.append(ids[0])
-            dsts.append(chunk[0])
-            continue
-        iu, ju = np.triu_indices(m, k=1)
-        srcs.extend(chunk[i] for i in iu)
-        dsts.extend(chunk[j] for j in ju)
-        if start > 0:
+        if m >= 2 and emitted < max_pairs:
+            iu, ju = np.triu_indices(m, k=1)
+            srcs.extend(chunk[i] for i in iu)
+            dsts.extend(chunk[j] for j in ju)
+            emitted += iu.size
+        if start > 0 or m < 2:
             # chain chunks so one hot bucket still yields one component
             srcs.append(ids[0])
             dsts.append(chunk[0])
@@ -177,6 +194,7 @@ def candidate_pairs_from_buckets(
     coarse bucket, singleton bands are dropped vectorized and pairs are
     emitted per band with numpy ``triu_indices``."""
     max_bucket = cfg.max_band_bucket
+    max_pairs = cfg.max_pairs_per_bucket
 
     def _pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized pair emission for all bands in one coarse bucket.
@@ -206,7 +224,9 @@ def candidate_pairs_from_buckets(
             sel = starts[sizes == n]
             if n > max_bucket:
                 for s in sel:
-                    hot_frames.append(_bucket_pairs(list(ids[s : s + n]), max_bucket, channel))
+                    hot_frames.append(
+                        _bucket_pairs(list(ids[s : s + n]), max_bucket, channel, max_pairs)
+                    )
                 continue
             mat = ids[sel[:, None] + np.arange(n)[None, :]]  # (g, n)
             iu, ju = np.triu_indices(n, k=1)

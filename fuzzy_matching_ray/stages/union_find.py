@@ -66,12 +66,15 @@ def connected_components(
     # overhead, not data volume
     sym = _sym_edges(edges).repartition(num_partitions).materialize()
 
+    # initial labels stay lazy: they are consumed exactly once, by the
+    # first round's materialize — a separate materialize here would be
+    # one more full execution of pure overhead
     labels = nodes.map_batches(
         lambda b: pa.table({"node": b["conv_id"], "label": b["conv_id"]}),
         batch_format="pyarrow",
-    ).repartition(num_partitions).materialize()
+    ).repartition(num_partitions)
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # --- stage 1: labels ⋈ adjacency → messages -------------------
         lab_rows = labels.map_batches(
             lambda b: pa.table(
@@ -123,9 +126,10 @@ def connected_components(
             return out
 
         new_labels = bucketed_group_apply(messages, "target", _reduce, num_partitions).materialize()
-        changed_total = new_labels.sum("changed")
-        labels = new_labels.drop_columns(["changed"]).materialize()
-        if not changed_total:
+        labels = new_labels.drop_columns(["changed"])
+        # round 0 always changes labels when any edge exists — skip the
+        # convergence-check execution there
+        if rnd > 0 and not new_labels.sum("changed"):
             break
 
     return labels.map_batches(

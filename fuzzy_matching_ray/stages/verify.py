@@ -282,15 +282,20 @@ def verify_pairs(
     else:
         pairs = attach_texts_shuffle(pairs, docs)
 
-    # spread pair blocks across the whole fixed-size pool: upstream
-    # bucketed shuffles leave only num_partitions blocks, which would
-    # starve most of the verifier actors
-    scored = pairs.repartition(cfg.verify_concurrency * 4).map_batches(
+    # fixed-size pool sized to the cluster (an autoscaling pool ramps
+    # from one actor and leaves the stage single-threaded for most of
+    # its life; a fixed pool larger than the cluster deadlocks waiting
+    # for actors that can never get a CPU), and pair blocks spread
+    # across the whole pool: upstream bucketed shuffles leave only
+    # num_partitions blocks, which would starve most of the actors
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    pool = max(1, min(cfg.verify_concurrency, ncpu - 2))
+    scored = pairs.repartition(pool * 4).map_batches(
         VerifierPool,
         fn_constructor_args=(cfg, store_ref),
         batch_format="pyarrow",
         batch_size=cfg.verify_batch_size,
-        concurrency=(1, cfg.verify_concurrency),
+        concurrency=pool,
         num_cpus=1,
     )
 
