@@ -46,9 +46,16 @@ def _read(sf_dir: str, table: str):
 
 
 def _pipeline_cfg() -> "Any":
+    import ray
+
     from fuzzy_matching_ray.config import PipelineConfig
 
-    return PipelineConfig(num_partitions=8)
+    # partition count is purely physical (every grouped stage is
+    # deterministic per key), so scale it with the cluster: a fixed
+    # small P caps shuffle parallelism at P tasks no matter how many
+    # CPUs exist
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return PipelineConfig(num_partitions=max(16, 2 * ncpu))
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,7 @@ def _dedup_only(sf_dir: str, num_cpus: int) -> dict:
         "n_turns": int(n_turns),
         "n_clusters": int(n_clusters),
         "turns_per_sec": round(n_turns / sec, 1),
+        "stage_seconds": res.metrics.get("stage_seconds", {}),
     }
 
 
@@ -163,6 +164,8 @@ def main() -> None:
                     "scaling_efficiency": round(eff, 3),
                     "n_convs": n_convs,
                     "n_turns": r_hi["n_turns"],
+                    "stage_seconds_8": r_lo.get("stage_seconds", {}),
+                    "stage_seconds_32": r_hi.get("stage_seconds", {}),
                 }
             )
         )

@@ -133,20 +133,31 @@ class PipelineConfig:
     # [edit_gate_low, jaccard_threshold).
     jaccard_threshold: float = 0.7
     edit_accept_threshold: float = 0.7
-    edit_gate_low: float = 0.3
+    # lower bound of the Jaccard gray zone in which the (expensive)
+    # edit kernel runs.  Empirically every true-dup pair that needs the
+    # edit channel (jac < 0.7, edit ≥ 0.7) sits at jac ≥ 0.507 on the
+    # synthetic corpus — 0.45 keeps a 0.05 margin while cutting indel
+    # invocations ~100× vs 0.3 (candidates in [0.3, 0.45) are ~6% of
+    # the LSH stream; [0.45, 0.7) is ~0.06%).  Pairs below this bound
+    # with high edit similarity are intentionally not edges (documented
+    # deviation from pure reference ratio semantics; lower it for
+    # adversarial heavy-rewrite data).
+    edit_gate_low: float = 0.45
     # signature-estimate gate: pairs whose MinHash-estimated Jaccard
     # (mean signature agreement, std ≈ sqrt(J(1-J)/num_perm) ≈ 0.04)
     # falls below this never reach the exact shingle-intersection /
-    # edit kernels.  0.25 sits >4σ below the lowest true-dup Jaccard
-    # observed (~0.44) while dropping ~95% of background LSH
-    # collisions, whose Jaccard median is ~0.15.  Set to 0 to disable.
-    sig_est_gate: float = 0.25
+    # edit kernels.  An edge requires true Jaccard ≥ edit_gate_low
+    # (0.45), so 0.30 sits >3σ below any pair that could still become
+    # an edge while rejecting the mass of LSH background collisions
+    # whose true Jaccard hugs the ~0.29 banding threshold.  Set to 0
+    # to disable.
+    sig_est_gate: float = 0.30
     verify_batch_size: int = 4096
-    verify_concurrency: int = 16
-
-    # execution
+    # pool ceilings; actual pool size is clamped to cluster CPUs − 2 at
+    # stage construction (see verify_pairs / compute_signatures)
+    verify_concurrency: int = 32
     sig_batch_size: int = 1024
-    sig_concurrency: int = 16
+    sig_concurrency: int = 32
 
     # checkpointing
     workdir: Optional[str] = None

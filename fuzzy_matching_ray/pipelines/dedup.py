@@ -60,8 +60,19 @@ def dedup_transcripts(
     keep_docs: bool = True,
 ) -> DedupResult:
     """Run the full pipeline on a transcripts Dataset."""
+    import time as _time
+
     cfg = cfg or PipelineConfig()
     metrics: dict = {}
+    timings: dict = {}
+    metrics["stage_seconds"] = timings
+    _t0 = _time.perf_counter()
+
+    def _lap(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[name] = round(now - _t0, 2)
+        _t0 = now
 
     ckpt = CheckpointManager(cfg.workdir, cfg.config_hash()) if cfg.workdir else None
 
@@ -80,17 +91,20 @@ def dedup_transcripts(
     else:
         docs = _docs().materialize()
         metrics["docs_rows"] = docs.count()
+    _lap("docs")
 
     # exact-dup pre-pass
     exact_edges = exact_dup_edges(docs, cfg.num_partitions)
     uniq_docs = drop_exact_dups(docs, cfg.num_partitions).materialize()
     metrics["unique_docs"] = uniq_docs.count()
+    _lap("exact_dedup")
 
     # MinHash signatures are computed exactly once (narrow conv_id+sig
     # dataset) and reused by band generation AND the verifier's
     # estimate gate — recomputing them per verifier actor would
     # dominate the verify stage
     sigs = compute_signatures(uniq_docs, cfg).materialize() if "minhash" in channels else None
+    _lap("signatures")
 
     # candidate generation channels over unique docs
     pair_sets = []
@@ -121,9 +135,11 @@ def dedup_transcripts(
     else:
         uniq_pairs = _pairs().materialize()
         metrics["candidate_pairs"] = uniq_pairs.count()
+    _lap("candidate_pairs")
 
     # skew accounting: emitted vs dropped pairs per hot bucket
     metrics["dropped_pairs_hot_buckets"] = _dropped_pairs(uniq_pairs, cfg)
+    _lap("skew_metrics")
 
     # verification
     def _edges() -> ray.data.Dataset:
@@ -139,6 +155,7 @@ def dedup_transcripts(
     else:
         edges = _edges().materialize()
         metrics["edges"] = edges.count()
+    _lap("verify")
 
     # clustering
     nodes = docs.select_columns(["conv_id"])
@@ -153,8 +170,10 @@ def dedup_transcripts(
     else:
         clusters = _clusters().materialize()
         metrics["nodes"] = clusters.count()
+    _lap("union_find")
 
     reps = cluster_representatives(clusters, cfg.num_partitions)
+    _lap("representatives")
 
     return DedupResult(
         docs=docs if keep_docs else uniq_docs,
@@ -167,22 +186,36 @@ def dedup_transcripts(
 
 def _dropped_pairs(uniq_pairs: ray.data.Dataset, cfg: PipelineConfig) -> int:
     """Exact count of cross-chunk pairs skipped in salted hot buckets:
-    sum over oversized buckets of C(n,2) − emitted."""
-    import pandas as pd
+    sum over oversized buckets of C(n,2) − emitted.
 
-    big = uniq_pairs.filter(
-        expr=f"bucket_size > {cfg.max_band_bucket}"
+    Aggregated distributedly: each batch contributes a tiny
+    (bucket_size, count) histogram; only histograms reach the driver
+    (pulling the raw oversized-pair rows would be a driver-side scan).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    max_bucket = cfg.max_band_bucket
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        col = batch["bucket_size"]
+        big = col.filter(pc.greater(col, max_bucket))
+        vc = big.value_counts()
+        if len(vc) == 0:
+            return pa.table(
+                {"bucket_size": pa.array([], pa.int32()), "n": pa.array([], pa.int64())}
+            )
+        return pa.table({"bucket_size": vc.field("values"), "n": vc.field("counts")})
+
+    hist = (
+        uniq_pairs.select_columns(["bucket_size"])
+        .map_batches(_hist, batch_format="pyarrow")
+        .to_pandas()
     )
-    try:
-        df = big.select_columns(["bucket_size"]).to_pandas()
-    except Exception:
-        df = pd.DataFrame({"bucket_size": []})
-    if df.empty:
+    if hist.empty:
         return 0
-    # emitted per oversized bucket ≈ rows observed with that size; exact
-    # dropped accounting is C(n,2) - emitted, aggregated over buckets
-    sizes = df["bucket_size"].value_counts()
+    sizes = hist.groupby("bucket_size")["n"].sum()
     dropped = 0
     for n, emitted in sizes.items():
-        dropped += max(0, n * (n - 1) // 2 - int(emitted))
+        dropped += max(0, int(n) * (int(n) - 1) // 2 - int(emitted))
     return int(dropped)

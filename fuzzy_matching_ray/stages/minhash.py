@@ -67,14 +67,26 @@ class MinHashSignatures:
         k = self.cfg.shingle_k
         n = len(texts)
         out = np.empty((n, self.cfg.num_perm), dtype=np.uint64)
+        sh_parts: list[np.ndarray] = []
+        offsets = np.empty(n + 1, dtype=np.int32)
+        offsets[0] = 0
         for i, t in enumerate(texts):
             sh = char_shingle_hashes(t or "", k)
+            sh_parts.append(sh)
+            offsets[i + 1] = offsets[i] + sh.size
             out[i] = minhash_signature(sh, self.a, self.b)
+        flat = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
+        # the sorted-unique shingle sets ride along so the verifier's
+        # exact-Jaccard kernel never recomputes them per actor (that
+        # duplicated work is CPU-count-independent and kills scaling)
         return pa.table(
             {
                 "conv_id": batch["conv_id"],
                 "sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(out.reshape(-1), pa.uint64()), self.cfg.num_perm
+                ),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.uint64())
                 ),
             }
         )
@@ -84,12 +96,19 @@ def compute_signatures(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.
     """docs(conv_id, text_canon, …) → narrow ``(conv_id, sig)`` dataset
     (actor pool; only the two needed columns leave the doc store).
 
-    Fixed-size pool clamped to the cluster CPU count — see the
-    equivalent sizing note in ``verify_pairs``."""
+    Fixed-size pool clamped to the cluster CPU count AND the data
+    volume (per-actor startup is ~1-2s of pure overhead; signatures
+    cost ~1ms/doc, so a pool bigger than ~n_docs/4000 starts actors
+    that never pay for themselves) — see also ``verify_pairs``."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     pool = max(1, min(cfg.sig_concurrency, ncpu - 2))
+    try:
+        n_docs = docs.count()
+        pool = max(2, min(pool, n_docs // 2000 + 1))
+    except Exception:
+        pass
     return docs.select_columns(["conv_id", "text_canon"]).map_batches(
         MinHashSignatures,
         fn_constructor_args=(cfg,),
@@ -280,7 +299,10 @@ def dedup_pairs(pairs: ray.data.Dataset, num_partitions: int = 64) -> ray.data.D
 
     def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(_prio=df["channel"].map(prio).fillna(9))
-        df = df.sort_values(["src", "dst", "_prio"], kind="mergesort")
+        # bucket_size in the sort key makes the surviving row
+        # deterministic under priority ties — otherwise it depends on
+        # partition layout and the dropped-pairs metric wobbles with P
+        df = df.sort_values(["src", "dst", "_prio", "bucket_size"], kind="mergesort")
         df = df.drop_duplicates(subset=["src", "dst"], keep="first")
         return df.drop(columns=["_prio"])
 

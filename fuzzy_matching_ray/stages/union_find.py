@@ -60,11 +60,18 @@ def connected_components(
 ) -> ray.data.Dataset:
     """``nodes(conv_id)`` + ``edges(src,dst)`` → ``(conv_id, cluster_id)``
     with cluster_id = min conv_id of the component."""
+    # Verified edge sets are orders of magnitude smaller than the doc
+    # corpus, so clamp the partition count to the data: oversized P
+    # makes every round pay sort/task overhead proportional to P, which
+    # dominated wall time (56s → 6s at 27k edges when P dropped 64 → 8).
+    n_edges = edges.count()
+    p = max(8, min(num_partitions, n_edges // 200_000 + 8))
+
     # bound the block count before iterating: upstream stages (verify
     # over millions of candidate pairs) can leave `edges` as hundreds of
     # tiny blocks, and per-round cost is dominated by task-per-block
     # overhead, not data volume
-    sym = _sym_edges(edges).repartition(num_partitions).materialize()
+    sym = _sym_edges(edges).repartition(p).materialize()
 
     # initial labels stay lazy: they are consumed exactly once, by the
     # first round's materialize — a separate materialize here would be
@@ -72,7 +79,8 @@ def connected_components(
     labels = nodes.map_batches(
         lambda b: pa.table({"node": b["conv_id"], "label": b["conv_id"]}),
         batch_format="pyarrow",
-    ).repartition(num_partitions)
+    ).repartition(p)
+    num_partitions = p
 
     for rnd in range(max_rounds):
         # --- stage 1: labels ⋈ adjacency → messages -------------------
@@ -126,7 +134,10 @@ def connected_components(
             return out
 
         new_labels = bucketed_group_apply(messages, "target", _reduce, num_partitions).materialize()
-        labels = new_labels.drop_columns(["changed"])
+        # repartition keeps the label block count bounded: each grouped
+        # round otherwise emits (input + P) blocks, so rounds get
+        # linearly slower (observed 4s → 17s by round 5 unbounded)
+        labels = new_labels.drop_columns(["changed"]).repartition(num_partitions)
         # round 0 always changes labels when any edge exists — skip the
         # convergence-check execution there
         if rnd > 0 and not new_labels.sum("changed"):
@@ -153,4 +164,10 @@ def cluster_representatives(
         out["cluster_size"] = sizes[out.index].astype("int32").to_numpy()
         return out
 
-    return bucketed_group_apply(clusters, "cluster_id", _rep, num_partitions)
+    # same data-sized partition clamp as connected_components
+    try:
+        n_rows = clusters.count()
+    except Exception:
+        n_rows = 1 << 30
+    p = max(8, min(num_partitions, n_rows // 200_000 + 8))
+    return bucketed_group_apply(clusters, "cluster_id", _rep, p)

@@ -39,27 +39,89 @@ def attach_texts_broadcast(
     cfg: PipelineConfig,
     sigs: ray.data.Dataset | None = None,
 ) -> tuple[ray.data.Dataset, "ray.ObjectRef"]:
-    """Broadcast the id→(text, signature) mapping via ``ray.put`` once;
-    verifier actors resolve payloads locally.  Returns (pairs,
-    store_ref).  Pre-computed MinHash signatures ride along so the
-    estimate gate never recomputes them."""
+    """Broadcast the doc payloads via ``ray.put`` once; verifier actors
+    resolve them locally.  Returns (pairs, store_ref).
+
+    Store layout is fully columnar — an id→row dict plus flat numpy
+    buffers (utf-8 text bytes + offsets, concatenated sorted shingle
+    sets + offsets, signature matrix).  Numpy buffers deserialize
+    zero-copy out of the object store, so N verifier actors on a node
+    share ONE copy of the ~payload instead of N pickled copies, and
+    the exact-Jaccard kernel reads shingle-set views without ever
+    recomputing them (per-actor recompute is CPU-count-independent
+    work that kills scaling)."""
     from fuzzy_matching_ray.stages.minhash import sig_matrix
 
-    store: dict[str, tuple[str, np.ndarray | None]] = {}
+    idx: dict[str, int] = {}
+    text_chunks: list[bytes] = []
+    text_lens: list[np.ndarray] = []
     for batch in docs.select_columns(["conv_id", "text_canon"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        store.update(
-            (cid, (txt, None))
-            for cid, txt in zip(batch["conv_id"].to_pylist(), batch["text_canon"].to_pylist())
-        )
+        ids = batch["conv_id"].to_pylist()
+        base = len(idx)
+        idx.update(zip(ids, range(base, base + len(ids))))
+        col = batch["text_canon"].combine_chunks() if isinstance(
+            batch["text_canon"], pa.ChunkedArray
+        ) else batch["text_canon"]
+        # Arrow string column: reuse its own utf-8 buffer + offsets
+        off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=off_dtype, count=len(col) + col.offset + 1
+        )[col.offset :]
+        text_chunks.append(col.buffers()[2].to_pybytes()[offs[0] : offs[-1]])
+        text_lens.append(np.diff(offs).astype(np.int64))
+
+    n_docs = len(idx)
+    text_flat = np.frombuffer(b"".join(text_chunks), dtype=np.uint8)
+    lens = np.concatenate(text_lens) if text_lens else np.empty(0, dtype=np.int64)
+    text_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=text_off[1:])
+
+    # signature-side arrays keep the SIGS dataset's own iteration order
+    # under a second index dict — no per-row scatter into docs order,
+    # just per-batch concatenation of already-contiguous buffers
+    idx_sig: dict[str, int] = {}
+    sig_mats: list[np.ndarray] = []
+    sh_flats: list[np.ndarray] = []
+    sh_lens: list[np.ndarray] = []
+    has_shingles = False
     if sigs is not None:
-        for batch in sigs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            mat = sig_matrix(batch["sig"], cfg.num_perm)
-            for i, cid in enumerate(batch["conv_id"].to_pylist()):
-                ent = store.get(cid)
-                if ent is not None:
-                    store[cid] = (ent[0], mat[i])
+        has_shingles = "shingles" in sigs.schema().names
+        cols = ["conv_id", "sig"] + (["shingles"] if has_shingles else [])
+        for batch in sigs.select_columns(cols).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            ids = batch["conv_id"].to_pylist()
+            base = len(idx_sig)
+            idx_sig.update(zip(ids, range(base, base + len(ids))))
+            sig_mats.append(sig_matrix(batch["sig"], cfg.num_perm))
+            if has_shingles:
+                sh_col = batch["shingles"]
+                if isinstance(sh_col, pa.ChunkedArray):
+                    sh_col = sh_col.combine_chunks()
+                sh_flats.append(sh_col.flatten().to_numpy(zero_copy_only=False))
+                offs = np.asarray(sh_col.offsets)
+                sh_lens.append(np.diff(offs).astype(np.int64))
+
+    sig_mat = np.vstack(sig_mats) if sig_mats else None
+    sh_flat = None
+    sh_off = None
+    if has_shingles and sh_flats:
+        sh_flat = np.concatenate(sh_flats)
+        lens_s = np.concatenate(sh_lens)
+        sh_off = np.zeros(lens_s.size + 1, dtype=np.int64)
+        np.cumsum(lens_s, out=sh_off[1:])
+
+    store = {
+        "idx": idx,
+        "idx_sig": idx_sig if sigs is not None else None,
+        "text_flat": text_flat,
+        "text_off": text_off,
+        "sigs": sig_mat,
+        "sh_flat": sh_flat,
+        "sh_off": sh_off,
+    }
     return pairs, ray.put(store)
 
 
@@ -133,9 +195,22 @@ class VerifierPool:
 
     def __init__(self, cfg: PipelineConfig, store_ref=None):
         self.cfg = cfg
-        # store: conv_id → (text_canon, signature row | None)
-        self.store: dict[str, tuple[str, np.ndarray | None]] | None = (
-            ray.get(store_ref) if store_ref is not None else None
+        # columnar store: {"idx": {conv_id: row}, "texts": [...],
+        # "sigs": (n, num_perm) matrix | None} — see attach_texts_broadcast
+        store = ray.get(store_ref) if store_ref is not None else None
+        self._idx: dict[str, int] | None = store["idx"] if store else None
+        self._idx_sig: dict[str, int] | None = store.get("idx_sig") if store else None
+        self._text_flat: np.ndarray | None = store["text_flat"] if store else None
+        self._text_off: np.ndarray | None = store["text_off"] if store else None
+        self._sh_flat: np.ndarray | None = store["sh_flat"] if store else None
+        self._sh_off: np.ndarray | None = store["sh_off"] if store else None
+        self._sigs: np.ndarray | None = store["sigs"] if store else None
+        # low-byte view of the signatures for the estimate gate: equal
+        # minhashes ⇒ equal bytes, unequal collide at p=1/256 (inflates
+        # the estimate by ~0.004 — far below the gate's 4σ margin) for
+        # 8× less gather/compare memory traffic per pair
+        self._sigs8: np.ndarray | None = (
+            (self._sigs & np.uint64(0xFF)).astype(np.uint8) if self._sigs is not None else None
         )
         self._shingle_cache: dict[str, np.ndarray] = {}
         self._sig_cache: dict[str, np.ndarray] = {}
@@ -144,6 +219,10 @@ class VerifierPool:
         self._a, self._b = minhash_coeffs(cfg.num_perm, cfg.seed)
 
     def _shingles(self, conv_id: str, text: str) -> np.ndarray:
+        if self._sh_flat is not None:
+            i = self._idx_sig.get(conv_id)
+            if i is not None:
+                return self._sh_flat[self._sh_off[i] : self._sh_off[i + 1]]
         sh = self._shingle_cache.get(conv_id)
         if sh is None:
             sh = char_shingle_hashes(text or "", self.cfg.shingle_k)
@@ -153,10 +232,10 @@ class VerifierPool:
         return sh
 
     def _signature(self, conv_id: str, text: str) -> np.ndarray:
-        if self.store is not None:
-            ent = self.store.get(conv_id)
-            if ent is not None and ent[1] is not None:
-                return ent[1]
+        if self._sigs is not None:
+            i = self._idx_sig.get(conv_id)
+            if i is not None:
+                return self._sigs[i]
         sig = self._sig_cache.get(conv_id)
         if sig is None:
             from fuzzy_matching_ray.hashing import minhash_signature
@@ -170,10 +249,16 @@ class VerifierPool:
     def _text(self, conv_id: str, inline: str | None) -> str:
         if inline is not None:
             return inline
-        if self.store is None:
+        if self._idx is None:
             return ""
-        ent = self.store.get(conv_id)
-        return ent[0] if ent is not None else ""
+        i = self._idx.get(conv_id)
+        if i is None:
+            return ""
+        return (
+            self._text_flat[self._text_off[i] : self._text_off[i + 1]]
+            .tobytes()
+            .decode("utf-8", errors="replace")
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         srcs = batch["src"].to_pylist()
@@ -189,33 +274,49 @@ class VerifierPool:
         edit = np.zeros(n, dtype=np.float64)
         use_edit = cfg.edit_accept_threshold > 0
 
-        # pass 1 — vectorized signature-estimate gate over the batch:
-        # signatures are computed once per *unique* doc in the batch
-        # (actor-cached across batches), then compared with one fancy-
-        # indexed numpy equality over the whole batch — no per-pair loop
+        # pass 1 — vectorized signature-estimate gate over the batch.
+        # Fast path: every pair id resolves into the broadcast signature
+        # matrix, so the whole batch is one fancy-indexed numpy equality.
+        # Slow path (no store / inline-attached ids): signatures are
+        # computed once per unique doc (actor-cached across batches).
         need_exact = np.ones(n, dtype=bool)
         if gate > 0 and n:
-            uniq_ids: dict[str, int] = {}
-            sig_rows: list[np.ndarray] = []
-            idx_src = np.empty(n, dtype=np.int64)
-            idx_dst = np.empty(n, dtype=np.int64)
-            for i in range(n):
-                for cid, inline, out in (
-                    (srcs[i], src_texts[i], idx_src),
-                    (dsts[i], dst_texts[i], idx_dst),
-                ):
-                    j = uniq_ids.get(cid)
-                    if j is None:
-                        j = len(sig_rows)
-                        uniq_ids[cid] = j
-                        sig_rows.append(self._signature(cid, self._text(cid, inline)))
-                    out[i] = j
-            S = np.vstack(sig_rows)
-            est = (S[idx_src] == S[idx_dst]).mean(axis=1)
+            est = np.empty(n, dtype=np.float64)
+            if self._sigs is not None:
+                rs = np.fromiter((self._idx_sig.get(c, -1) for c in srcs), np.int64, count=n)
+                rd = np.fromiter((self._idx_sig.get(c, -1) for c in dsts), np.int64, count=n)
+                ok = (rs >= 0) & (rd >= 0)
+                if ok.any():
+                    est[ok] = (self._sigs8[rs[ok]] == self._sigs8[rd[ok]]).mean(axis=1)
+                for i in np.flatnonzero(~ok):
+                    sa = self._signature(srcs[i], self._text(srcs[i], src_texts[i]))
+                    sb = self._signature(dsts[i], self._text(dsts[i], dst_texts[i]))
+                    est[i] = float((sa == sb).mean())
+            else:
+                uniq_ids: dict[str, int] = {}
+                sig_rows: list[np.ndarray] = []
+                idx_src = np.empty(n, dtype=np.int64)
+                idx_dst = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    for cid, inline, out in (
+                        (srcs[i], src_texts[i], idx_src),
+                        (dsts[i], dst_texts[i], idx_dst),
+                    ):
+                        j = uniq_ids.get(cid)
+                        if j is None:
+                            j = len(sig_rows)
+                            uniq_ids[cid] = j
+                            sig_rows.append(self._signature(cid, self._text(cid, inline)))
+                        out[i] = j
+                S = np.vstack(sig_rows)
+                est = (S[idx_src] == S[idx_dst]).mean(axis=1)
             need_exact = est >= gate
             jac = np.where(need_exact, jac, est)
 
-        # pass 2 — exact kernels only where the estimate didn't rule out
+        # pass 2 — exact kernels only where the estimate didn't rule
+        # out.  Text is fetched lazily: with the broadcast shingle
+        # store, the Jaccard kernel never touches text at all, and the
+        # (rare) edit gray zone decodes it on demand.
         chan_arr = np.asarray(channels, dtype=object)
         todo = np.flatnonzero(need_exact | (chan_arr == "exact") | (chan_arr == "substring"))
         for i in todo:
@@ -223,11 +324,17 @@ class VerifierPool:
                 jac[i] = 1.0
                 edit[i] = 1.0
                 continue
-            st = self._text(srcs[i], src_texts[i])
-            dt = self._text(dsts[i], dst_texts[i])
+            st = src_texts[i]
+            dt = dst_texts[i]
+            if self._sh_flat is None or src_texts[i] is not None:
+                st = self._text(srcs[i], src_texts[i])
+                dt = self._text(dsts[i], dst_texts[i])
             a = self._shingles(srcs[i], st)
             b = self._shingles(dsts[i], dt)
             if a.size == 0 and b.size == 0:
+                if st is None:
+                    st = self._text(srcs[i], src_texts[i])
+                    dt = self._text(dsts[i], dst_texts[i])
                 jac[i] = 1.0 if st == dt else 0.0
             else:
                 inter = _sorted_intersect_size(a, b)
@@ -239,6 +346,9 @@ class VerifierPool:
             # could still reach the accept threshold (exact bound — no
             # recall loss, skips the O(la·lb/64) kernel)
             if use_edit and cfg.edit_gate_low <= jac[i] < cfg.jaccard_threshold:
+                if st is None:
+                    st = self._text(srcs[i], src_texts[i])
+                    dt = self._text(dsts[i], dst_texts[i])
                 la = min(len(st), _EDIT_PREFIX_CAP)
                 lb = min(len(dt), _EDIT_PREFIX_CAP)
                 if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
@@ -285,12 +395,28 @@ def verify_pairs(
     # fixed-size pool sized to the cluster (an autoscaling pool ramps
     # from one actor and leaves the stage single-threaded for most of
     # its life; a fixed pool larger than the cluster deadlocks waiting
-    # for actors that can never get a CPU), and pair blocks spread
-    # across the whole pool: upstream bucketed shuffles leave only
-    # num_partitions blocks, which would starve most of the actors
+    # for actors that can never get a CPU)
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     pool = max(1, min(cfg.verify_concurrency, ncpu - 2))
-    scored = pairs.repartition(pool * 4).map_batches(
+    # clamp the pool to the data volume too: ~100k pairs/s per actor
+    # means a pool beyond n_pairs/100k starts actors (1-2s each of
+    # startup overhead) that never pay for themselves
+    try:
+        n_pairs = pairs.count()
+        pool = max(2, min(pool, n_pairs // 100_000 + 1))
+    except Exception:
+        pass
+    # spread pair blocks across the whole pool ONLY when blocks are
+    # scarce — Ray's repartition funnels all rows through a single
+    # reduce task, which costs more than the map stage it feeds when
+    # the block count is already sufficient
+    try:
+        n_blocks = pairs.num_blocks()
+    except Exception:
+        n_blocks = None
+    if n_blocks is not None and n_blocks < pool * 2:
+        pairs = pairs.repartition(pool * 4)
+    scored = pairs.map_batches(
         VerifierPool,
         fn_constructor_args=(cfg, store_ref),
         batch_format="pyarrow",

@@ -1,0 +1,74 @@
+"""Skew handling (pair budget + drop accounting) and the verifier's
+signature-estimate gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from fuzzy_matching_ray.config import PipelineConfig
+from fuzzy_matching_ray.stages.minhash import _bucket_pairs
+from fuzzy_matching_ray.cli import parse_match_fields, parse_name_fields
+
+
+def test_bucket_pair_budget_and_chain_links():
+    ids = [f"c{i:04d}" for i in range(300)]
+    out = _bucket_pairs(ids, max_bucket=64, channel="minhash", max_pairs=2016)
+    # first chunk emits C(64,2)=2016 cross pairs; the remaining 4 chunks
+    # contribute exactly one chain link each
+    cross = len(out) - 4
+    assert cross == 2016
+    assert (out["bucket_size"] == 300).all()
+    # chain links anchor to the bucket's min id
+    links = out.tail(4) if not (out.head(4)["src"] == ids[0]).all() else out
+    assert (out["src"] == ids[0]).sum() >= 4
+    # drop accounting input: C(300,2) - emitted is recoverable
+    assert 300 * 299 // 2 - cross == 42834
+
+
+def test_bucket_pairs_unbudgeted_full():
+    ids = [f"c{i}" for i in range(10)]
+    out = _bucket_pairs(ids, max_bucket=64, channel="minhash")
+    assert len(out) == 45  # C(10,2), no chunking below max_bucket
+
+
+def test_sig_est_gate_preserves_edges(ray_session, tiny_transcripts):
+    """Edges with the estimate gate on must equal edges with it off
+    (the gate may only skip pairs that cannot pass the thresholds)."""
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    turns = rd.read_parquet(tiny_transcripts["turns_dir"])
+    e_gated = (
+        dedup_transcripts(turns, PipelineConfig(num_partitions=4))
+        .edges.to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    e_exact = (
+        dedup_transcripts(turns, PipelineConfig(num_partitions=4, sig_est_gate=0.0))
+        .edges.to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        e_gated[["src", "dst", "channel"]], e_exact[["src", "dst", "channel"]]
+    )
+
+
+def test_parse_match_fields_grammar():
+    fields = parse_match_fields("last:0.4:true:token_sort,first:0.3,solo")
+    assert [f.field for f in fields] == ["last", "first", "solo"]
+    assert fields[0].weight == 0.4 and fields[0].transliterate
+    assert fields[0].fuzzy_algorithm is not None
+    assert fields[1].weight == 0.3 and not fields[1].transliterate
+    assert fields[2].weight == 1.0
+    # unknown algorithm falls back to None (reference behavior)
+    assert parse_match_fields("x:1:false:bogus")[0].fuzzy_algorithm is None
+
+
+def test_parse_name_fields():
+    assert parse_name_fields("a=b, c = d") == {"a": "b", "c": "d"}
+    assert parse_name_fields(None) is None
+    assert parse_name_fields("") is None
