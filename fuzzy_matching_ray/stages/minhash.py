@@ -98,7 +98,7 @@ def compute_signatures(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.
 
     Fixed-size pool clamped to the cluster CPU count AND the data
     volume (per-actor startup is ~1-2s of pure overhead; signatures
-    cost ~1ms/doc, so a pool bigger than ~n_docs/4000 starts actors
+    cost ~1ms/doc, so a pool bigger than ~n_docs/2000 starts actors
     that never pay for themselves) — see also ``verify_pairs``."""
     import ray
 
