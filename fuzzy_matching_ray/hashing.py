@@ -93,6 +93,19 @@ def hash64_str(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+def nid_of(ids: list[str]) -> np.ndarray:
+    """Stable uint64 node ids for conv_id strings.
+
+    The shuffle-heavy stages (band rows, candidate pairs, pair dedup,
+    verification input) move these 8-byte ids instead of ~25-byte
+    strings — a 3-5× cut in shuffled bytes, and numeric sort/group/
+    dedup kernels instead of object-dtype ones.  Collision probability
+    is birthday-bounded: ~n²/2⁶⁵ (≈3·10⁻¹¹ at 10⁶ docs, ≈3% at 10⁹ —
+    at that scale switch to 128-bit ids).  Strings reappear only at
+    the edge/cluster boundary (small data)."""
+    return np.fromiter((hash64_str(s) for s in ids), dtype=np.uint64, count=len(ids))
+
+
 def sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()
 

@@ -143,9 +143,14 @@ def dedup_transcripts(
 
     # verification
     def _edges() -> ray.data.Dataset:
+        from fuzzy_matching_ray.stages.verify import edges_to_conv_ids
+
         verified = verify_pairs(
             uniq_pairs, uniq_docs, cfg, doc_count=metrics["unique_docs"], sigs=sigs
         )
+        # verified pairs travel as uint64 node ids; conv_id strings
+        # reappear only here, on the (small) surviving edge set
+        verified = edges_to_conv_ids(verified, uniq_docs)
         return verified.union(exact_edges)
 
     if ckpt:

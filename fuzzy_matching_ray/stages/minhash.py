@@ -40,8 +40,8 @@ from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
 
 PAIR_SCHEMA = pa.schema(
     [
-        ("src", pa.string()),
-        ("dst", pa.string()),
+        ("src", pa.uint64()),   # stable node id (hashing.nid_of)
+        ("dst", pa.uint64()),
         ("channel", pa.string()),
         ("bucket_size", pa.int32()),
     ]
@@ -76,12 +76,15 @@ class MinHashSignatures:
             offsets[i + 1] = offsets[i] + sh.size
             out[i] = minhash_signature(sh, self.a, self.b)
         flat = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
+        from fuzzy_matching_ray.hashing import nid_of
+
         # the sorted-unique shingle sets ride along so the verifier's
         # exact-Jaccard kernel never recomputes them per actor (that
         # duplicated work is CPU-count-independent and kills scaling)
         return pa.table(
             {
                 "conv_id": batch["conv_id"],
+                "nid": pa.array(nid_of(batch["conv_id"].to_pylist()), pa.uint64()),
                 "sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(out.reshape(-1), pa.uint64()), self.cfg.num_perm
                 ),
@@ -128,8 +131,9 @@ def sig_matrix(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
 
 
 def minhash_band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
-    """sigs(conv_id, sig) → (band_key, conv_id) rows (stateless:
-    band keys are a vectorized mix over the signature matrix)."""
+    """sigs(nid, sig) → (band_key, nid) rows (stateless: band keys are
+    a vectorized mix over the signature matrix).  8-byte node ids, not
+    conv_id strings, flow through the banding shuffle."""
     bands, num_perm = cfg.bands, cfg.num_perm
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -141,17 +145,17 @@ def minhash_band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
         return pa.table(
             {
                 "band_key": pa.array(keys.reshape(-1), pa.uint64()),
-                "conv_id": batch["conv_id"].take(pa.array(idx)),
+                "nid": batch["nid"].take(pa.array(idx)),
             }
         )
 
-    return sigs.select_columns(["conv_id", "sig"]).map_batches(
+    return sigs.select_columns(["nid", "sig"]).map_batches(
         _explode, batch_format="pyarrow"
     )
 
 
 def _bucket_pairs(
-    ids: list[str], max_bucket: int, channel: str, max_pairs: int = 1 << 62
+    ids, max_bucket: int, channel: str, max_pairs: int = 1 << 62
 ) -> pd.DataFrame:
     """Deterministic pair emission for one hot bucket: salted chunks of
     ``max_bucket``, a total pair budget of ``max_pairs``, chain links
@@ -165,36 +169,36 @@ def _bucket_pairs(
     C(n,2) − emitted (north_rule drop accounting); chain-link pairs are
     still verified, so they can never create a spurious cluster edge.
     """
-    n = len(ids)
+    ids_arr = np.sort(np.asarray(ids, dtype=np.uint64))
+    n = ids_arr.size
     if n < 2:
         return pd.DataFrame(
             {
-                "src": pd.Series(dtype=object),
-                "dst": pd.Series(dtype=object),
+                "src": pd.Series(dtype="uint64"),
+                "dst": pd.Series(dtype="uint64"),
                 "channel": pd.Series(dtype=object),
                 "bucket_size": pd.Series(dtype="int32"),
             }
         )
-    ids = sorted(ids)
-    srcs: list[str] = []
-    dsts: list[str] = []
+    src_parts: list[np.ndarray] = []
+    dst_parts: list[np.ndarray] = []
     emitted = 0
     for start in range(0, n, max_bucket):
-        chunk = ids[start : start + max_bucket]
-        m = len(chunk)
+        chunk = ids_arr[start : start + max_bucket]
+        m = chunk.size
         if m >= 2 and emitted < max_pairs:
             iu, ju = np.triu_indices(m, k=1)
-            srcs.extend(chunk[i] for i in iu)
-            dsts.extend(chunk[j] for j in ju)
+            src_parts.append(chunk[iu])
+            dst_parts.append(chunk[ju])
             emitted += iu.size
         if start > 0 or m < 2:
             # chain chunks so one hot bucket still yields one component
-            srcs.append(ids[0])
-            dsts.append(chunk[0])
+            src_parts.append(ids_arr[:1])
+            dst_parts.append(chunk[:1])
     return pd.DataFrame(
         {
-            "src": srcs,
-            "dst": dsts,
+            "src": np.concatenate(src_parts),
+            "dst": np.concatenate(dst_parts),
             "channel": channel,
             "bucket_size": np.int32(n),
         }
@@ -223,9 +227,9 @@ def candidate_pairs_from_buckets(
         index emits every within-band pair — no per-band Python loop.
         Oversized (hot) bands fall back to the salted/capped path.
         """
-        df = df.sort_values(["band_key", "conv_id"], kind="mergesort")
+        df = df.sort_values(["band_key", "nid"], kind="mergesort")
         keys = df["band_key"].to_numpy()
-        ids = df["conv_id"].to_numpy()
+        ids = df["nid"].to_numpy()
         # group boundaries over the sorted keys
         boundary = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
         sizes = np.diff(boundary)
@@ -244,7 +248,7 @@ def candidate_pairs_from_buckets(
             if n > max_bucket:
                 for s in sel:
                     hot_frames.append(
-                        _bucket_pairs(list(ids[s : s + n]), max_bucket, channel, max_pairs)
+                        _bucket_pairs(ids[s : s + n], max_bucket, channel, max_pairs)
                     )
                 continue
             mat = ids[sel[:, None] + np.arange(n)[None, :]]  # (g, n)
@@ -255,8 +259,8 @@ def candidate_pairs_from_buckets(
 
         cold = pd.DataFrame(
             {
-                "src": np.concatenate(src_parts) if src_parts else np.empty(0, dtype=object),
-                "dst": np.concatenate(dst_parts) if dst_parts else np.empty(0, dtype=object),
+                "src": np.concatenate(src_parts) if src_parts else np.empty(0, dtype=np.uint64),
+                "dst": np.concatenate(dst_parts) if dst_parts else np.empty(0, dtype=np.uint64),
                 "channel": channel,
                 "bucket_size": np.concatenate(size_parts)
                 if size_parts

@@ -50,15 +50,22 @@ class SimHashSignatures:
         return int.from_bytes(np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from fuzzy_matching_ray.hashing import nid_of
+
         texts = batch["text_canon"].to_pylist()
         out = np.fromiter(
             (self._simhash(t or "") for t in texts), dtype=np.uint64, count=len(texts)
         )
-        return pa.table({"conv_id": batch["conv_id"], "simhash": pa.array(out, pa.uint64())})
+        return pa.table(
+            {
+                "nid": pa.array(nid_of(batch["conv_id"].to_pylist()), pa.uint64()),
+                "simhash": pa.array(out, pa.uint64()),
+            }
+        )
 
 
 def simhash_band_rows(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
-    """docs(conv_id, text_canon) → (band_key, conv_id) band rows for the
+    """docs(conv_id, text_canon) → (band_key, nid) band rows for the
     SimHash channel.  Keys carry the chunk index in the high bits and a
     channel tag so they never collide with MinHash band keys."""
     sigs = docs.select_columns(["conv_id", "text_canon"]).map_batches(
@@ -86,7 +93,7 @@ def simhash_band_rows(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
         return pa.table(
             {
                 "band_key": pa.array(keys, pa.uint64()),
-                "conv_id": batch["conv_id"].take(pa.array(idx)),
+                "nid": batch["nid"].take(pa.array(idx)),
             }
         )
 

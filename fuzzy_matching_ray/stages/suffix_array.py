@@ -99,8 +99,8 @@ def _substring_pairs_bucket(
         total += cps.size + 1
     empty = pd.DataFrame(
         {
-            "src": pd.Series(dtype=object),
-            "dst": pd.Series(dtype=object),
+            "src": pd.Series(dtype="uint64"),
+            "dst": pd.Series(dtype="uint64"),
             "channel": pd.Series(dtype=object),
             "bucket_size": pd.Series(dtype="int32"),
         }
@@ -112,15 +112,18 @@ def _substring_pairs_bucket(
     sa = build_suffix_array(s)
     lcp = kasai_lcp(s, sa)
 
+    from fuzzy_matching_ray.hashing import nid_of
+
+    nids = nid_of(list(ids))
     # adjacent suffixes with long LCP and different owners → pair
     long_mask = lcp >= min_len
-    pairs: set[tuple[str, str]] = set()
+    pairs: set[tuple[int, int]] = set()
     idx = np.nonzero(long_mask)[0]
     for r in idx:
         a = owner[sa[r - 1]]
         b = owner[sa[r]]
         if a != b:
-            pa_, pb = ids[int(a)], ids[int(b)]
+            pa_, pb = int(nids[int(a)]), int(nids[int(b)])
             if pa_ > pb:
                 pa_, pb = pb, pa_
             pairs.add((pa_, pb))
@@ -131,8 +134,8 @@ def _substring_pairs_bucket(
     src, dst = zip(*sorted(pairs))
     return pd.DataFrame(
         {
-            "src": list(src),
-            "dst": list(dst),
+            "src": np.asarray(src, dtype=np.uint64),
+            "dst": np.asarray(dst, dtype=np.uint64),
             "channel": "substring",
             "bucket_size": np.int32(len(ids)),
         }

@@ -50,17 +50,16 @@ def attach_texts_broadcast(
     the exact-Jaccard kernel reads shingle-set views without ever
     recomputing them (per-actor recompute is CPU-count-independent
     work that kills scaling)."""
+    from fuzzy_matching_ray.hashing import nid_of
     from fuzzy_matching_ray.stages.minhash import sig_matrix
 
-    idx: dict[str, int] = {}
+    nid_parts: list[np.ndarray] = []
     text_chunks: list[bytes] = []
     text_lens: list[np.ndarray] = []
     for batch in docs.select_columns(["conv_id", "text_canon"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        ids = batch["conv_id"].to_pylist()
-        base = len(idx)
-        idx.update(zip(ids, range(base, base + len(ids))))
+        nid_parts.append(nid_of(batch["conv_id"].to_pylist()))
         col = batch["text_canon"].combine_chunks() if isinstance(
             batch["text_canon"], pa.ChunkedArray
         ) else batch["text_canon"]
@@ -72,29 +71,36 @@ def attach_texts_broadcast(
         text_chunks.append(col.buffers()[2].to_pybytes()[offs[0] : offs[-1]])
         text_lens.append(np.diff(offs).astype(np.int64))
 
-    n_docs = len(idx)
+    text_nids = np.concatenate(nid_parts) if nid_parts else np.empty(0, dtype=np.uint64)
+    n_docs = text_nids.size
     text_flat = np.frombuffer(b"".join(text_chunks), dtype=np.uint8)
     lens = np.concatenate(text_lens) if text_lens else np.empty(0, dtype=np.int64)
     text_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=text_off[1:])
+    # sorted-nid + permutation: lookups become one vectorized
+    # searchsorted per batch instead of a per-pair dict probe
+    text_order = np.argsort(text_nids, kind="stable")
+    text_nids_sorted = text_nids[text_order]
 
     # signature-side arrays keep the SIGS dataset's own iteration order
-    # under a second index dict — no per-row scatter into docs order,
-    # just per-batch concatenation of already-contiguous buffers
-    idx_sig: dict[str, int] = {}
+    # under their own sorted-nid index — no per-row scatter, just
+    # per-batch concatenation of already-contiguous buffers
+    sig_nid_parts: list[np.ndarray] = []
     sig_mats: list[np.ndarray] = []
     sh_flats: list[np.ndarray] = []
     sh_lens: list[np.ndarray] = []
     has_shingles = False
     if sigs is not None:
         has_shingles = "shingles" in sigs.schema().names
-        cols = ["conv_id", "sig"] + (["shingles"] if has_shingles else [])
+        cols = ["nid", "sig"] + (["shingles"] if has_shingles else [])
         for batch in sigs.select_columns(cols).iter_batches(
             batch_size=65536, batch_format="pyarrow"
         ):
-            ids = batch["conv_id"].to_pylist()
-            base = len(idx_sig)
-            idx_sig.update(zip(ids, range(base, base + len(ids))))
+            sig_nid_parts.append(
+                batch["nid"].combine_chunks().to_numpy(zero_copy_only=False)
+                if isinstance(batch["nid"], pa.ChunkedArray)
+                else batch["nid"].to_numpy(zero_copy_only=False)
+            )
             sig_mats.append(sig_matrix(batch["sig"], cfg.num_perm))
             if has_shingles:
                 sh_col = batch["shingles"]
@@ -104,6 +110,10 @@ def attach_texts_broadcast(
                 offs = np.asarray(sh_col.offsets)
                 sh_lens.append(np.diff(offs).astype(np.int64))
 
+    sig_nids = (
+        np.concatenate(sig_nid_parts) if sig_nid_parts else np.empty(0, dtype=np.uint64)
+    )
+    sig_order = np.argsort(sig_nids, kind="stable")
     sig_mat = np.vstack(sig_mats) if sig_mats else None
     sh_flat = None
     sh_off = None
@@ -114,10 +124,12 @@ def attach_texts_broadcast(
         np.cumsum(lens_s, out=sh_off[1:])
 
     store = {
-        "idx": idx,
-        "idx_sig": idx_sig if sigs is not None else None,
+        "text_nids_sorted": text_nids_sorted,
+        "text_order": text_order,
         "text_flat": text_flat,
         "text_off": text_off,
+        "sig_nids_sorted": sig_nids[sig_order] if sig_mat is not None else None,
+        "sig_order": sig_order if sig_mat is not None else None,
         "sigs": sig_mat,
         "sh_flat": sh_flat,
         "sh_off": sh_off,
@@ -136,15 +148,20 @@ def attach_texts_shuffle(
     ``map_groups`` — the portable partitioned hash-join."""
     out = pairs
     for side in ("src", "dst"):
-        doc_rows = docs.select_columns(["conv_id", "text_canon"]).map_batches(
-            lambda b: pa.table(
+
+        def _doc_rows(b: pa.Table) -> pa.Table:
+            from fuzzy_matching_ray.hashing import nid_of
+
+            return pa.table(
                 {
-                    "key": b["conv_id"],
+                    "key": pa.array(nid_of(b["conv_id"].to_pylist()), pa.uint64()),
                     "_text": b["text_canon"],
                     "_is_doc": pa.array(np.ones(b.num_rows, dtype=bool)),
                 }
-            ),
-            batch_format="pyarrow",
+            )
+
+        doc_rows = docs.select_columns(["conv_id", "text_canon"]).map_batches(
+            _doc_rows, batch_format="pyarrow"
         )
 
         def _tag(b: pa.Table, side=side) -> pa.Table:
@@ -168,6 +185,46 @@ def attach_texts_shuffle(
 
         out = doc_rows.union(pair_rows).groupby("key").map_groups(_attach, batch_format="pandas")
     return out
+
+
+def edges_to_conv_ids(
+    edges: ray.data.Dataset, docs: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Map uint64 ``src``/``dst`` node ids back to ``conv_id`` strings.
+
+    Verified edges are a tiny fraction of candidate pairs, so the
+    string ids only reappear here, at the user-facing boundary.  The
+    reverse map is broadcast (``ray.put`` once); beyond broadcast scale
+    (~10⁷ docs) replace with a bucketed join against the docs table
+    keyed on nid — edges stay small either way."""
+    import ray as _ray
+
+    from fuzzy_matching_ray.hashing import hash64_str
+
+    rev: dict[int, str] = {}
+    for batch in docs.select_columns(["conv_id"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        ids = batch["conv_id"].to_pylist()
+        rev.update((hash64_str(s), s) for s in ids)
+    rev_ref = _ray.put(rev)
+
+    def _to_str(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        r = _ray.get(rev_ref)
+        cols = {name: b[name] for name in b.column_names}
+        for name in ("src", "dst"):
+            vals = b[name].to_pylist()
+            cols[name] = pa.array([r.get(v, str(v)) for v in vals], pa.string())
+        # pairs were (min,max)-normalized in nid space; re-normalize
+        # lexicographically so the string-facing edge contract is stable
+        lo = pc.min_element_wise(cols["src"], cols["dst"])
+        hi = pc.max_element_wise(cols["src"], cols["dst"])
+        cols["src"], cols["dst"] = lo, hi
+        return pa.table(cols)
+
+    return edges.map_batches(_to_str, batch_format="pyarrow")
 
 
 def _sorted_intersect_size(a: np.ndarray, b: np.ndarray) -> int:
@@ -195,15 +252,10 @@ class VerifierPool:
 
     def __init__(self, cfg: PipelineConfig, store_ref=None):
         self.cfg = cfg
-        # columnar store: {"idx": {conv_id: row}, "texts": [...],
-        # "sigs": (n, num_perm) matrix | None} — see attach_texts_broadcast
+        # columnar nid-keyed store (sorted uint64 id arrays + flat
+        # payload buffers) — see attach_texts_broadcast
         store = ray.get(store_ref) if store_ref is not None else None
-        self._idx: dict[str, int] | None = store["idx"] if store else None
-        self._idx_sig: dict[str, int] | None = store.get("idx_sig") if store else None
-        self._text_flat: np.ndarray | None = store["text_flat"] if store else None
-        self._text_off: np.ndarray | None = store["text_off"] if store else None
-        self._sh_flat: np.ndarray | None = store["sh_flat"] if store else None
-        self._sh_off: np.ndarray | None = store["sh_off"] if store else None
+        self._store = store
         self._sigs: np.ndarray | None = store["sigs"] if store else None
         # low-byte view of the signatures for the estimate gate: equal
         # minhashes ⇒ equal bytes, unequal collide at p=1/256 (inflates
@@ -212,59 +264,83 @@ class VerifierPool:
         self._sigs8: np.ndarray | None = (
             (self._sigs & np.uint64(0xFF)).astype(np.uint8) if self._sigs is not None else None
         )
-        self._shingle_cache: dict[str, np.ndarray] = {}
-        self._sig_cache: dict[str, np.ndarray] = {}
+        self._shingle_cache: dict[int, np.ndarray] = {}
+        self._sig_cache: dict[int, np.ndarray] = {}
         from fuzzy_matching_ray.hashing import minhash_coeffs
 
         self._a, self._b = minhash_coeffs(cfg.num_perm, cfg.seed)
 
-    def _shingles(self, conv_id: str, text: str) -> np.ndarray:
-        if self._sh_flat is not None:
-            i = self._idx_sig.get(conv_id)
-            if i is not None:
-                return self._sh_flat[self._sh_off[i] : self._sh_off[i + 1]]
-        sh = self._shingle_cache.get(conv_id)
+    @staticmethod
+    def _lookup(sorted_nids: np.ndarray, order: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """Vectorized id → data-row resolution; -1 for missing ids."""
+        if sorted_nids is None or sorted_nids.size == 0:
+            return np.full(q.size, -1, dtype=np.int64)
+        pos = np.searchsorted(sorted_nids, q)
+        pos_c = np.minimum(pos, sorted_nids.size - 1)
+        rows = order[pos_c].astype(np.int64, copy=False)
+        rows[sorted_nids[pos_c] != q] = -1
+        return rows
+
+    def _sig_rows(self, q: np.ndarray) -> np.ndarray:
+        s = self._store
+        if s is None or s["sigs"] is None:
+            return np.full(q.size, -1, dtype=np.int64)
+        return self._lookup(s["sig_nids_sorted"], s["sig_order"], q)
+
+    def _text_rows(self, q: np.ndarray) -> np.ndarray:
+        s = self._store
+        if s is None:
+            return np.full(q.size, -1, dtype=np.int64)
+        return self._lookup(s["text_nids_sorted"], s["text_order"], q)
+
+    def _shingles_by_row(self, row: int) -> np.ndarray | None:
+        s = self._store
+        if s is None or s["sh_flat"] is None or row < 0:
+            return None
+        return s["sh_flat"][s["sh_off"][row] : s["sh_off"][row + 1]]
+
+    def _shingles_fallback(self, nid: int, text: str) -> np.ndarray:
+        sh = self._shingle_cache.get(nid)
         if sh is None:
             sh = char_shingle_hashes(text or "", self.cfg.shingle_k)
             if len(self._shingle_cache) > 1 << 16:
                 self._shingle_cache.clear()
-            self._shingle_cache[conv_id] = sh
+            self._shingle_cache[nid] = sh
         return sh
 
-    def _signature(self, conv_id: str, text: str) -> np.ndarray:
-        if self._sigs is not None:
-            i = self._idx_sig.get(conv_id)
-            if i is not None:
-                return self._sigs[i]
-        sig = self._sig_cache.get(conv_id)
+    def _signature_fallback(self, nid: int, text: str) -> np.ndarray:
+        sig = self._sig_cache.get(nid)
         if sig is None:
             from fuzzy_matching_ray.hashing import minhash_signature
 
-            sig = minhash_signature(self._shingles(conv_id, text), self._a, self._b)
+            sig = minhash_signature(self._shingles_fallback(nid, text), self._a, self._b)
             if len(self._sig_cache) > 1 << 17:
                 self._sig_cache.clear()
-            self._sig_cache[conv_id] = sig
+            self._sig_cache[nid] = sig
         return sig
 
-    def _text(self, conv_id: str, inline: str | None) -> str:
+    def _text_by_row(self, row: int, inline: str | None) -> str:
         if inline is not None:
             return inline
-        if self._idx is None:
-            return ""
-        i = self._idx.get(conv_id)
-        if i is None:
+        s = self._store
+        if s is None or row < 0:
             return ""
         return (
-            self._text_flat[self._text_off[i] : self._text_off[i + 1]]
+            s["text_flat"][s["text_off"][row] : s["text_off"][row + 1]]
             .tobytes()
             .decode("utf-8", errors="replace")
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        srcs = batch["src"].to_pylist()
-        dsts = batch["dst"].to_pylist()
+        def _np(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.to_numpy(zero_copy_only=False)
+
+        srcs = _np(batch["src"])  # uint64 node ids
+        dsts = _np(batch["dst"])
         channels = batch["channel"].to_pylist()
-        n = len(srcs)
+        n = srcs.size
         src_texts = batch["src_text"].to_pylist() if "src_text" in batch.column_names else [None] * n
         dst_texts = batch["dst_text"].to_pylist() if "dst_text" in batch.column_names else [None] * n
 
@@ -274,49 +350,43 @@ class VerifierPool:
         edit = np.zeros(n, dtype=np.float64)
         use_edit = cfg.edit_accept_threshold > 0
 
-        # pass 1 — vectorized signature-estimate gate over the batch.
-        # Fast path: every pair id resolves into the broadcast signature
-        # matrix, so the whole batch is one fancy-indexed numpy equality.
-        # Slow path (no store / inline-attached ids): signatures are
-        # computed once per unique doc (actor-cached across batches).
+        # resolve store rows once per batch — vectorized searchsorted,
+        # no per-pair dict probes
+        rs_sig = self._sig_rows(srcs)
+        rd_sig = self._sig_rows(dsts)
+        rs_txt = self._text_rows(srcs)
+        rd_txt = self._text_rows(dsts)
+
+        # pass 1 — vectorized signature-estimate gate over the batch
         need_exact = np.ones(n, dtype=bool)
         if gate > 0 and n:
             est = np.empty(n, dtype=np.float64)
-            if self._sigs is not None:
-                rs = np.fromiter((self._idx_sig.get(c, -1) for c in srcs), np.int64, count=n)
-                rd = np.fromiter((self._idx_sig.get(c, -1) for c in dsts), np.int64, count=n)
-                ok = (rs >= 0) & (rd >= 0)
-                if ok.any():
-                    est[ok] = (self._sigs8[rs[ok]] == self._sigs8[rd[ok]]).mean(axis=1)
-                for i in np.flatnonzero(~ok):
-                    sa = self._signature(srcs[i], self._text(srcs[i], src_texts[i]))
-                    sb = self._signature(dsts[i], self._text(dsts[i], dst_texts[i]))
-                    est[i] = float((sa == sb).mean())
-            else:
-                uniq_ids: dict[str, int] = {}
-                sig_rows: list[np.ndarray] = []
-                idx_src = np.empty(n, dtype=np.int64)
-                idx_dst = np.empty(n, dtype=np.int64)
-                for i in range(n):
-                    for cid, inline, out in (
-                        (srcs[i], src_texts[i], idx_src),
-                        (dsts[i], dst_texts[i], idx_dst),
-                    ):
-                        j = uniq_ids.get(cid)
-                        if j is None:
-                            j = len(sig_rows)
-                            uniq_ids[cid] = j
-                            sig_rows.append(self._signature(cid, self._text(cid, inline)))
-                        out[i] = j
-                S = np.vstack(sig_rows)
-                est = (S[idx_src] == S[idx_dst]).mean(axis=1)
+            ok = (rs_sig >= 0) & (rd_sig >= 0)
+            if ok.any():
+                est[ok] = (self._sigs8[rs_sig[ok]] == self._sigs8[rd_sig[ok]]).mean(axis=1)
+            for i in np.flatnonzero(~ok):
+                sa = (
+                    self._sigs[rs_sig[i]]
+                    if rs_sig[i] >= 0
+                    else self._signature_fallback(
+                        int(srcs[i]), self._text_by_row(rs_txt[i], src_texts[i])
+                    )
+                )
+                sb = (
+                    self._sigs[rd_sig[i]]
+                    if rd_sig[i] >= 0
+                    else self._signature_fallback(
+                        int(dsts[i]), self._text_by_row(rd_txt[i], dst_texts[i])
+                    )
+                )
+                est[i] = float((sa == sb).mean())
             need_exact = est >= gate
             jac = np.where(need_exact, jac, est)
 
         # pass 2 — exact kernels only where the estimate didn't rule
-        # out.  Text is fetched lazily: with the broadcast shingle
-        # store, the Jaccard kernel never touches text at all, and the
-        # (rare) edit gray zone decodes it on demand.
+        # out.  With the broadcast shingle store the Jaccard kernel
+        # reads array views; text is decoded only for the (rare) edit
+        # gray zone and fallback paths.
         chan_arr = np.asarray(channels, dtype=object)
         todo = np.flatnonzero(need_exact | (chan_arr == "exact") | (chan_arr == "substring"))
         for i in todo:
@@ -324,17 +394,18 @@ class VerifierPool:
                 jac[i] = 1.0
                 edit[i] = 1.0
                 continue
-            st = src_texts[i]
-            dt = dst_texts[i]
-            if self._sh_flat is None or src_texts[i] is not None:
-                st = self._text(srcs[i], src_texts[i])
-                dt = self._text(dsts[i], dst_texts[i])
-            a = self._shingles(srcs[i], st)
-            b = self._shingles(dsts[i], dt)
+            st = dt = None
+            a = self._shingles_by_row(rs_sig[i])
+            if a is None:
+                st = self._text_by_row(rs_txt[i], src_texts[i])
+                a = self._shingles_fallback(int(srcs[i]), st)
+            b = self._shingles_by_row(rd_sig[i])
+            if b is None:
+                dt = self._text_by_row(rd_txt[i], dst_texts[i])
+                b = self._shingles_fallback(int(dsts[i]), dt)
             if a.size == 0 and b.size == 0:
-                if st is None:
-                    st = self._text(srcs[i], src_texts[i])
-                    dt = self._text(dsts[i], dst_texts[i])
+                st = self._text_by_row(rs_txt[i], src_texts[i]) if st is None else st
+                dt = self._text_by_row(rd_txt[i], dst_texts[i]) if dt is None else dt
                 jac[i] = 1.0 if st == dt else 0.0
             else:
                 inter = _sorted_intersect_size(a, b)
@@ -346,9 +417,8 @@ class VerifierPool:
             # could still reach the accept threshold (exact bound — no
             # recall loss, skips the O(la·lb/64) kernel)
             if use_edit and cfg.edit_gate_low <= jac[i] < cfg.jaccard_threshold:
-                if st is None:
-                    st = self._text(srcs[i], src_texts[i])
-                    dt = self._text(dsts[i], dst_texts[i])
+                st = self._text_by_row(rs_txt[i], src_texts[i]) if st is None else st
+                dt = self._text_by_row(rd_txt[i], dst_texts[i]) if dt is None else dt
                 la = min(len(st), _EDIT_PREFIX_CAP)
                 lb = min(len(dt), _EDIT_PREFIX_CAP)
                 if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:

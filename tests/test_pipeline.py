@@ -102,12 +102,12 @@ def test_hot_band_salting():
     # chained through the bucket's min id)
     from fuzzy_matching_ray.stages.minhash import _bucket_pairs
 
-    ids = [f"c{i:04d}" for i in range(1000)]
+    ids = np.arange(5000, 6000, dtype=np.uint64)  # 1000 node ids
     df = _bucket_pairs(ids, max_bucket=64, channel="minhash")
     assert len(df) < 1000 * 999 // 2 / 10  # far fewer than all-pairs
     assert (df.bucket_size == 1000).all()
 
-    parent = {i: i for i in ids}
+    parent = {int(i): int(i) for i in ids}
 
     def find(x):
         while parent[x] != x:
@@ -116,8 +116,8 @@ def test_hot_band_salting():
         return x
 
     for s, d in zip(df.src, df.dst):
-        parent[find(s)] = find(d)
-    assert len({find(i) for i in ids}) == 1
+        parent[find(int(s))] = find(int(d))
+    assert len({find(int(i)) for i in ids}) == 1
 
 
 def test_suffix_channel_positive(ray_session):

@@ -14,7 +14,7 @@ from fuzzy_matching_ray.cli import parse_match_fields, parse_name_fields
 
 
 def test_bucket_pair_budget_and_chain_links():
-    ids = [f"c{i:04d}" for i in range(300)]
+    ids = np.arange(1000, 1300, dtype=np.uint64)  # 300 node ids
     out = _bucket_pairs(ids, max_bucket=64, channel="minhash", max_pairs=2016)
     # first chunk emits C(64,2)=2016 cross pairs; the remaining 4 chunks
     # contribute exactly one chain link each
@@ -22,14 +22,13 @@ def test_bucket_pair_budget_and_chain_links():
     assert cross == 2016
     assert (out["bucket_size"] == 300).all()
     # chain links anchor to the bucket's min id
-    links = out.tail(4) if not (out.head(4)["src"] == ids[0]).all() else out
-    assert (out["src"] == ids[0]).sum() >= 4
+    assert (out["src"] == ids.min()).sum() >= 4
     # drop accounting input: C(300,2) - emitted is recoverable
     assert 300 * 299 // 2 - cross == 42834
 
 
 def test_bucket_pairs_unbudgeted_full():
-    ids = [f"c{i}" for i in range(10)]
+    ids = np.arange(10, dtype=np.uint64)
     out = _bucket_pairs(ids, max_bucket=64, channel="minhash")
     assert len(out) == 45  # C(10,2), no chunking below max_bucket
 
