@@ -66,15 +66,19 @@ def minhash_dedup_docs(
 ) -> ray.data.Dataset:
     """MinHash/LSH near-dup clusters over a document table:
     (doc_id, cluster_id)."""
+    from fuzzy_matching_ray.stages.minhash import compute_signatures
+    from fuzzy_matching_ray.stages.verify import edges_to_conv_ids
+
     cfg = cfg or PipelineConfig(num_partitions=8)
     docs = canonicalize_documents(_as_conv(ds, id_col, text_col), cfg).materialize()
     n = docs.count()
-    band_rows = minhash_band_rows(docs, cfg)
+    sigs = compute_signatures(docs, cfg).materialize()
+    band_rows = minhash_band_rows(sigs, cfg)
     pairs = dedup_pairs(
         candidate_pairs_from_buckets(band_rows, cfg, "minhash", cfg.num_partitions),
         cfg.num_partitions,
     )
-    edges = verify_pairs(pairs, docs, cfg, doc_count=n)
+    edges = edges_to_conv_ids(verify_pairs(pairs, docs, cfg, doc_count=n, sigs=sigs), docs)
     clusters = connected_components(
         docs.select_columns(["conv_id"]), edges, num_partitions=cfg.num_partitions
     )
@@ -91,6 +95,8 @@ def simhash_dedup_docs(
     text_col: str = "text",
 ) -> ray.data.Dataset:
     """SimHash-banded near-dup clusters: (doc_id, cluster_id)."""
+    from fuzzy_matching_ray.stages.verify import edges_to_conv_ids
+
     cfg = cfg or PipelineConfig(num_partitions=8)
     docs = canonicalize_documents(_as_conv(ds, id_col, text_col), cfg).materialize()
     n = docs.count()
@@ -99,7 +105,7 @@ def simhash_dedup_docs(
         candidate_pairs_from_buckets(rows, cfg, "simhash", cfg.num_partitions),
         cfg.num_partitions,
     )
-    edges = verify_pairs(pairs, docs, cfg, doc_count=n)
+    edges = edges_to_conv_ids(verify_pairs(pairs, docs, cfg, doc_count=n), docs)
     clusters = connected_components(
         docs.select_columns(["conv_id"]), edges, num_partitions=cfg.num_partitions
     )

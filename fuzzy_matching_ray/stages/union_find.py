@@ -51,6 +51,39 @@ def _sym_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     return edges.select_columns(["src", "dst"]).map_batches(_sym, batch_format="pyarrow")
 
 
+_SMALL_GRAPH_EDGES = 5_000_000
+
+
+def _uf_edge_batch(batch: pa.Table) -> pa.Table:
+    """Single-task union-find over one (gathered) edge batch → one
+    ``(node, label)`` row per edge-touched node, label = component min."""
+    src = batch["src"].to_pylist()
+    dst = batch["dst"].to_pylist()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps the root the lexicographic minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        parent.setdefault(ra, ra)
+    out_nodes = list(parent.keys())
+    labels = [find(x) for x in out_nodes]
+    return pa.table(
+        {"node": pa.array(out_nodes, pa.string()), "label": pa.array(labels, pa.string())}
+    )
+
+
 def connected_components(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -59,12 +92,63 @@ def connected_components(
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """``nodes(conv_id)`` + ``edges(src,dst)`` → ``(conv_id, cluster_id)``
-    with cluster_id = min conv_id of the component."""
+    with cluster_id = min conv_id of the component.
+
+    Size-aware strategy: after near-dup verification the edge set is
+    orders of magnitude smaller than the corpus (the dedup invariant —
+    a few % of docs have a dup partner), so below
+    ``_SMALL_GRAPH_EDGES`` the whole component structure is solved by
+    ONE union-find task over the gathered edges (3 executions total);
+    the iterative min-label-propagation rounds remain the path for
+    genuinely huge edge sets, where they run with data-clamped
+    partitioning."""
+    n_edges = edges.count()
+
+    if n_edges <= _SMALL_GRAPH_EDGES:
+        p = max(8, min(num_partitions, n_edges // 200_000 + 8))
+        # coerce to one block type first: edges are a union of Arrow
+        # (verify) and pandas (bucketed exact-dedup) blocks, which
+        # repartition refuses to merge
+        roots = (
+            edges.select_columns(["src", "dst"])
+            .map_batches(lambda b: b, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(_uf_edge_batch, batch_size=None, batch_format="pyarrow")
+        )
+
+        def _node_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["conv_id"],
+                    "label": b["conv_id"],
+                    "pri": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                }
+            )
+
+        def _root_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "label": b["label"],
+                    "pri": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                }
+            )
+
+        tagged = nodes.map_batches(_node_rows, batch_format="pyarrow").union(
+            roots.map_batches(_root_rows, batch_format="pyarrow")
+        )
+
+        def _pick(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["node", "pri"], kind="mergesort")
+            df = df.drop_duplicates(subset=["node"], keep="first")
+            return pd.DataFrame({"conv_id": df["node"], "cluster_id": df["label"]})
+
+        return bucketed_group_apply(tagged, "node", _pick, p)
+
     # Verified edge sets are orders of magnitude smaller than the doc
     # corpus, so clamp the partition count to the data: oversized P
     # makes every round pay sort/task overhead proportional to P, which
     # dominated wall time (56s → 6s at 27k edges when P dropped 64 → 8).
-    n_edges = edges.count()
     p = max(8, min(num_partitions, n_edges // 200_000 + 8))
 
     # bound the block count before iterating: upstream stages (verify
