@@ -33,6 +33,69 @@ from fuzzy_matching_ray.hashing import char_shingle_hashes
 _EDIT_PREFIX_CAP = 2048  # chars of text used for the edit-similarity gate
 
 
+def _as_arrow(batch) -> pa.Table:
+    if isinstance(batch, pd.DataFrame):
+        return pa.Table.from_pandas(batch, preserve_index=False)
+    return batch
+
+
+def _pack_text_block(batch):
+    """(nids, utf8 bytes, per-row byte lengths) for one doc block."""
+    from fuzzy_matching_ray.hashing import nid_of
+
+    batch = _as_arrow(batch)
+    nids = nid_of(batch["conv_id"].to_pylist())
+    col = (
+        batch["text_canon"].combine_chunks()
+        if isinstance(batch["text_canon"], pa.ChunkedArray)
+        else batch["text_canon"]
+    )
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(
+        col.buffers()[1], dtype=off_dtype, count=len(col) + col.offset + 1
+    )[col.offset :]
+    data = col.buffers()[2].to_pybytes()[offs[0] : offs[-1]]
+    return nids, data, np.diff(offs).astype(np.int64)
+
+
+def _pack_sig_block(batch, num_perm: int, has_shingles: bool):
+    """(nids, sig matrix, shingle flat, shingle lengths) for one block."""
+    from fuzzy_matching_ray.stages.minhash import sig_matrix
+
+    batch = _as_arrow(batch)
+    nid_col = batch["nid"]
+    if isinstance(nid_col, pa.ChunkedArray):
+        nid_col = nid_col.combine_chunks()
+    nids = nid_col.to_numpy(zero_copy_only=False)
+    mat = sig_matrix(batch["sig"], num_perm)
+    sh_flat = sh_lens = None
+    if has_shingles:
+        sh_col = batch["shingles"]
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        sh_flat = sh_col.flatten().to_numpy(zero_copy_only=False)
+        offs = np.asarray(sh_col.offsets)
+        sh_lens = np.diff(offs).astype(np.int64)
+    return nids, mat, sh_flat, sh_lens
+
+
+def _gather_packed(ds: ray.data.Dataset, pack_fn, args: tuple):
+    """Run ``pack_fn`` over the dataset's blocks as parallel Ray tasks
+    and yield the packed tuples in block order (numpy results come back
+    zero-copy from the object store).  Falls back to serial driver-side
+    iteration if block refs are unavailable."""
+    try:
+        pack_remote = ray.remote(num_cpus=1)(pack_fn)
+        refs = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                refs.append(pack_remote.remote(block_ref, *args))
+        yield from ray.get(refs)
+    except Exception:
+        for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            yield pack_fn(batch, *args)
+
+
 def attach_texts_broadcast(
     pairs: ray.data.Dataset,
     docs: ray.data.Dataset,
@@ -50,26 +113,18 @@ def attach_texts_broadcast(
     the exact-Jaccard kernel reads shingle-set views without ever
     recomputing them (per-actor recompute is CPU-count-independent
     work that kills scaling)."""
-    from fuzzy_matching_ray.hashing import nid_of
-    from fuzzy_matching_ray.stages.minhash import sig_matrix
-
+    # Per-block packing runs as PARALLEL Ray tasks (the store build was
+    # a serial driver bottleneck — 15-50s at 10⁵ docs); the driver only
+    # concatenates the pre-packed numpy buffers it gets back zero-copy.
     nid_parts: list[np.ndarray] = []
     text_chunks: list[bytes] = []
     text_lens: list[np.ndarray] = []
-    for batch in docs.select_columns(["conv_id", "text_canon"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
+    for nids_b, data_b, lens_b in _gather_packed(
+        docs.select_columns(["conv_id", "text_canon"]), _pack_text_block, ()
     ):
-        nid_parts.append(nid_of(batch["conv_id"].to_pylist()))
-        col = batch["text_canon"].combine_chunks() if isinstance(
-            batch["text_canon"], pa.ChunkedArray
-        ) else batch["text_canon"]
-        # Arrow string column: reuse its own utf-8 buffer + offsets
-        off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
-        offs = np.frombuffer(
-            col.buffers()[1], dtype=off_dtype, count=len(col) + col.offset + 1
-        )[col.offset :]
-        text_chunks.append(col.buffers()[2].to_pybytes()[offs[0] : offs[-1]])
-        text_lens.append(np.diff(offs).astype(np.int64))
+        nid_parts.append(nids_b)
+        text_chunks.append(data_b)
+        text_lens.append(lens_b)
 
     text_nids = np.concatenate(nid_parts) if nid_parts else np.empty(0, dtype=np.uint64)
     n_docs = text_nids.size
@@ -93,22 +148,14 @@ def attach_texts_broadcast(
     if sigs is not None:
         has_shingles = "shingles" in sigs.schema().names
         cols = ["nid", "sig"] + (["shingles"] if has_shingles else [])
-        for batch in sigs.select_columns(cols).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
+        for nids_b, mat_b, shf_b, shl_b in _gather_packed(
+            sigs.select_columns(cols), _pack_sig_block, (cfg.num_perm, has_shingles)
         ):
-            sig_nid_parts.append(
-                batch["nid"].combine_chunks().to_numpy(zero_copy_only=False)
-                if isinstance(batch["nid"], pa.ChunkedArray)
-                else batch["nid"].to_numpy(zero_copy_only=False)
-            )
-            sig_mats.append(sig_matrix(batch["sig"], cfg.num_perm))
+            sig_nid_parts.append(nids_b)
+            sig_mats.append(mat_b)
             if has_shingles:
-                sh_col = batch["shingles"]
-                if isinstance(sh_col, pa.ChunkedArray):
-                    sh_col = sh_col.combine_chunks()
-                sh_flats.append(sh_col.flatten().to_numpy(zero_copy_only=False))
-                offs = np.asarray(sh_col.offsets)
-                sh_lens.append(np.diff(offs).astype(np.int64))
+                sh_flats.append(shf_b)
+                sh_lens.append(shl_b)
 
     sig_nids = (
         np.concatenate(sig_nid_parts) if sig_nid_parts else np.empty(0, dtype=np.uint64)
