@@ -291,6 +291,57 @@ def _q_customer_per_nation(sf_dir: str):
     return ds.groupby("n_name").aggregate(Count(alias_name="n_customers"))
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no high-value order (broadcast key-set
+    filter — the small-side pattern for semi/anti joins, SURVEY.md
+    §2.8).  The price predicate is pushed into the key-side scan."""
+    import ray
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        flt = b.filter(pc.greater(b["o_totalprice"], 300000.0))
+        keys.update(flt["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return (
+        _read(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_name"])
+        .map_batches(_anti, batch_format="pyarrow")
+    )
+
+
+def _q_suppliers_with_parts(sf_dir: str):
+    """Semi-join: suppliers with at least one top-priced lineitem
+    (broadcast key-set membership; predicate pushed into the scan)."""
+    import ray
+    import pyarrow.compute as pc
+
+    li = _read(sf_dir, "lineitem").select_columns(["l_suppkey", "l_extendedprice"])
+    keys = set()
+    for b in li.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        flt = b.filter(pc.greater_equal(b["l_extendedprice"], 104800.0))
+        keys.update(flt["l_suppkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def _semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k in ks for k in batch["s_suppkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return (
+        _read(sf_dir, "supplier")
+        .select_columns(["s_suppkey", "s_name"])
+        .map_batches(_semi, batch_format="pyarrow")
+    )
+
+
 def _q_events_hourly(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -347,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "orders_top10": _q_orders_top10,
         "customer_per_nation": _q_customer_per_nation,
+        "customers_without_orders": _q_customers_without_orders,
+        "suppliers_with_parts": _q_suppliers_with_parts,
         "events_hourly": _q_events_hourly,
     }
 
@@ -416,6 +469,14 @@ def oracle_sql() -> dict[str, str]:
         "customer_per_nation": (
             "SELECT n_name, count(*)::BIGINT AS n_customers FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+        ),
+        "suppliers_with_parts": (
+            "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN "
+            "(SELECT l_suppkey FROM lineitem WHERE l_extendedprice >= 104800)"
         ),
         "events_hourly": (
             "SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events, "

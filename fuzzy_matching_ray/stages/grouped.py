@@ -56,7 +56,18 @@ def bucketed_group_apply(
     vectorized over the groups inside the bucket."""
     bucketed = add_bucket_column(ds, key, num_partitions)
 
-    def _apply(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns=[PART_COL]))
+    def _apply(df: pd.DataFrame):
+        out = fn(df.drop(columns=[PART_COL]))
+        # emit Arrow blocks when cleanly convertible: downstream stages
+        # consume zero-copy, unions never mix block types, and Ray's
+        # schema bookkeeping stops warning about pandas metadata.
+        # Frames with exotic object columns (nested lists etc.) stay
+        # pandas.
+        try:
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+                None
+            )
+        except Exception:
+            return out
 
     return bucketed.groupby(PART_COL).map_groups(_apply, batch_format="pandas")
