@@ -137,8 +137,12 @@ def dedup_transcripts(
         metrics["candidate_pairs"] = uniq_pairs.count()
     _lap("candidate_pairs")
 
-    # skew accounting: emitted vs dropped pairs per hot bucket
+    # skew accounting: exact dropped-cross-pair total carried by the
+    # __skew sentinel rows; sentinels are then excluded from verify
     metrics["dropped_pairs_hot_buckets"] = _dropped_pairs(uniq_pairs, cfg)
+    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+
+    uniq_pairs = uniq_pairs.filter(expr=f"channel != '{SKEW_CHANNEL}'")
     _lap("skew_metrics")
 
     # verification
@@ -190,37 +194,23 @@ def dedup_transcripts(
 
 
 def _dropped_pairs(uniq_pairs: ray.data.Dataset, cfg: PipelineConfig) -> int:
-    """Exact count of cross-chunk pairs skipped in salted hot buckets:
-    sum over oversized buckets of C(n,2) − emitted.
-
-    Aggregated distributedly: each batch contributes a tiny
-    (bucket_size, count) histogram; only histograms reach the driver
-    (pulling the raw oversized-pair rows would be a driver-side scan).
-    """
+    """Exact count of cross pairs skipped by the per-bucket budget:
+    the __skew sentinel rows (one per coarse bucket, unique keys that
+    survive pair dedup) carry the per-bucket totals computed at
+    emission time — summed here with a tiny distributed aggregation."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    max_bucket = cfg.max_band_bucket
+    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
 
-    def _hist(batch: pa.Table) -> pa.Table:
-        col = batch["bucket_size"]
-        big = col.filter(pc.greater(col, max_bucket))
-        vc = big.value_counts()
-        if len(vc) == 0:
-            return pa.table(
-                {"bucket_size": pa.array([], pa.int32()), "n": pa.array([], pa.int64())}
-            )
-        return pa.table({"bucket_size": vc.field("values"), "n": vc.field("counts")})
+    def _sum(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["channel"], SKEW_CHANNEL)
+        total = pc.sum(batch["dropped"].filter(mask))
+        return pa.table({"d": pa.array([total.as_py() or 0], pa.int64())})
 
-    hist = (
-        uniq_pairs.select_columns(["bucket_size"])
-        .map_batches(_hist, batch_format="pyarrow")
+    parts = (
+        uniq_pairs.select_columns(["channel", "dropped"])
+        .map_batches(_sum, batch_format="pyarrow")
         .to_pandas()
     )
-    if hist.empty:
-        return 0
-    sizes = hist.groupby("bucket_size")["n"].sum()
-    dropped = 0
-    for n, emitted in sizes.items():
-        dropped += max(0, int(n) * (int(n) - 1) // 2 - int(emitted))
-    return int(dropped)
+    return int(parts["d"].sum()) if not parts.empty else 0

@@ -27,6 +27,28 @@ import ray.data
 PART_COL = "__part"
 
 
+def sized_pool(ceiling: int, n_units: int | None, units_per_actor: int) -> int:
+    """Actor-pool size clamped to cluster CPUs (minus shuffle headroom)
+    AND data volume.  The data floor never exceeds the CPU clamp — a
+    fixed pool larger than the cluster deadlocks waiting for actors
+    that can never get a CPU."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    pool = max(1, min(ceiling, ncpu - 2))
+    if n_units is not None:
+        pool = max(1, min(pool, n_units // units_per_actor + 1))
+    return pool
+
+
+def sized_partitions(num_partitions: int, n_rows: int | None, rows_per_partition: int = 200_000) -> int:
+    """Partition count clamped to data volume (oversized P makes every
+    grouped round pay sort/task overhead proportional to P)."""
+    if n_rows is None:
+        return num_partitions
+    return max(8, min(num_partitions, n_rows // rows_per_partition + 8))
+
+
 def _bucket_of_column(col: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
     if pa.types.is_integer(col.type):
         vals = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)

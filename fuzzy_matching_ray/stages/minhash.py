@@ -15,11 +15,10 @@ Stages:
 3. ``candidate_pairs_from_buckets`` — the skew-aware shuffle:
    ``groupby(band_key)``; buckets ≤ ``max_band_bucket`` emit all
    C(n,2) pairs; larger (hot) buckets are *salted* — split into
-   deterministic sorted chunks of ``max_band_bucket`` with pairs only
-   within a chunk — and the dropped cross-chunk pair count is
-   accounted in the ``bucket_size``/``emitted`` columns so metrics can
-   report exactly what was skipped (north_rule requires explicit drop
-   accounting).
+   deterministic sorted chunks of ``max_band_bucket`` under a
+   per-bucket pair budget — and every skipped cross pair is counted
+   EXACTLY at emission time and carried on a ``__skew`` sentinel row
+   per coarse bucket (north_rule requires explicit drop accounting).
 """
 
 from __future__ import annotations
@@ -38,12 +37,16 @@ from fuzzy_matching_ray.hashing import (
 )
 from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
 
+# candidate-pair rows; one __skew sentinel row per coarse bucket carries
+# the exact dropped-cross-pair count (src=0, dst=first band key)
+SKEW_CHANNEL = "__skew"
 PAIR_SCHEMA = pa.schema(
     [
         ("src", pa.uint64()),   # stable node id (hashing.nid_of)
         ("dst", pa.uint64()),
         ("channel", pa.string()),
         ("bucket_size", pa.int32()),
+        ("dropped", pa.int64()),
     ]
 )
 
@@ -68,7 +71,7 @@ class MinHashSignatures:
         n = len(texts)
         out = np.empty((n, self.cfg.num_perm), dtype=np.uint64)
         sh_parts: list[np.ndarray] = []
-        offsets = np.empty(n + 1, dtype=np.int32)
+        offsets = np.empty(n + 1, dtype=np.int64)
         offsets[0] = 0
         for i, t in enumerate(texts):
             sh = char_shingle_hashes(t or "", k)
@@ -88,8 +91,10 @@ class MinHashSignatures:
                 "sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(out.reshape(-1), pa.uint64()), self.cfg.num_perm
                 ),
-                "shingles": pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()), pa.array(flat, pa.uint64())
+                # large_list: int64 offsets — int32 would overflow for
+                # batches with >2^31 cumulative shingles (long docs)
+                "shingles": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
                 ),
             }
         )
@@ -103,15 +108,13 @@ def compute_signatures(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.
     volume (per-actor startup is ~1-2s of pure overhead; signatures
     cost ~1ms/doc, so a pool bigger than ~n_docs/2000 starts actors
     that never pay for themselves) — see also ``verify_pairs``."""
-    import ray
+    from fuzzy_matching_ray.stages.grouped import sized_pool
 
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    pool = max(1, min(cfg.sig_concurrency, ncpu - 2))
     try:
         n_docs = docs.count()
-        pool = max(2, min(pool, n_docs // 2000 + 1))
     except Exception:
-        pass
+        n_docs = None
+    pool = sized_pool(cfg.sig_concurrency, n_docs, 2000)
     return docs.select_columns(["conv_id", "text_canon"]).map_batches(
         MinHashSignatures,
         fn_constructor_args=(cfg,),
@@ -163,22 +166,27 @@ def _bucket_pairs(
 
     A band key shared by thousands of documents is boilerplate (a
     "stopword band") and carries almost no similarity signal — true
-    near-dup pairs collide in many *other*, doc-specific bands — so
-    chunks past the pair budget contribute only a chain-link candidate
-    each.  Every dropped cross pair is exactly accounted downstream as
-    C(n,2) − emitted (north_rule drop accounting); chain-link pairs are
-    still verified, so they can never create a spurious cluster edge.
+    near-dup pairs collide in many *other*, doc-specific bands.  Pairs
+    inside budget-exhausted chunks are deliberately not emitted (they
+    rely on the doc-specific bands for recall — measured neutral on the
+    synthetic corpus); chain-link candidates keep one candidate path
+    per chunk and are still verified, so they can never create a
+    spurious cluster edge.  Returns (pairs_df, dropped_cross_pairs)
+    with the exact count of skipped cross pairs for the skew metric.
     """
     ids_arr = np.sort(np.asarray(ids, dtype=np.uint64))
     n = ids_arr.size
     if n < 2:
-        return pd.DataFrame(
-            {
-                "src": pd.Series(dtype="uint64"),
-                "dst": pd.Series(dtype="uint64"),
-                "channel": pd.Series(dtype=object),
-                "bucket_size": pd.Series(dtype="int32"),
-            }
+        return (
+            pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="uint64"),
+                    "dst": pd.Series(dtype="uint64"),
+                    "channel": pd.Series(dtype=object),
+                    "bucket_size": pd.Series(dtype="int32"),
+                }
+            ),
+            0,
         )
     src_parts: list[np.ndarray] = []
     dst_parts: list[np.ndarray] = []
@@ -195,13 +203,16 @@ def _bucket_pairs(
             # chain chunks so one hot bucket still yields one component
             src_parts.append(ids_arr[:1])
             dst_parts.append(chunk[:1])
-    return pd.DataFrame(
-        {
-            "src": np.concatenate(src_parts),
-            "dst": np.concatenate(dst_parts),
-            "channel": channel,
-            "bucket_size": np.int32(n),
-        }
+    return (
+        pd.DataFrame(
+            {
+                "src": np.concatenate(src_parts),
+                "dst": np.concatenate(dst_parts),
+                "channel": channel,
+                "bucket_size": np.int32(n),
+            }
+        ),
+        n * (n - 1) // 2 - emitted,
     )
 
 
@@ -226,6 +237,11 @@ def candidate_pairs_from_buckets(
         form a (n_groups, size) matrix and one ``triu_indices`` fancy-
         index emits every within-band pair — no per-band Python loop.
         Oversized (hot) bands fall back to the salted/capped path.
+
+        Every cross pair skipped by the budget is counted EXACTLY and
+        carried as one ``__skew`` sentinel row per coarse bucket
+        (src=0, dst=first band key — unique per bucket), so the skew
+        metric survives pair dedup without per-bucket identity columns.
         """
         df = df.sort_values(["band_key", "nid"], kind="mergesort")
         keys = df["band_key"].to_numpy()
@@ -239,6 +255,7 @@ def candidate_pairs_from_buckets(
         dst_parts: list[np.ndarray] = []
         size_parts: list[np.ndarray] = []
         hot_frames: list[pd.DataFrame] = []
+        dropped_total = 0
         # one vectorized emission per distinct group size (≤ max_bucket
         # distinct values) instead of one Python call per band
         for n in np.unique(sizes):
@@ -247,9 +264,11 @@ def candidate_pairs_from_buckets(
             sel = starts[sizes == n]
             if n > max_bucket:
                 for s in sel:
-                    hot_frames.append(
-                        _bucket_pairs(ids[s : s + n], max_bucket, channel, max_pairs)
+                    frame, dropped = _bucket_pairs(
+                        ids[s : s + n], max_bucket, channel, max_pairs
                     )
+                    hot_frames.append(frame)
+                    dropped_total += dropped
                 continue
             mat = ids[sel[:, None] + np.arange(n)[None, :]]  # (g, n)
             iu, ju = np.triu_indices(n, k=1)
@@ -267,9 +286,27 @@ def candidate_pairs_from_buckets(
                 else np.empty(0, dtype=np.int32),
             }
         )
-        if hot_frames:
-            return pd.concat([cold, *hot_frames], ignore_index=True)
-        return cold
+        parts = [cold, *hot_frames]
+        if dropped_total:
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "src": np.zeros(1, dtype=np.uint64),
+                        "dst": np.asarray([keys[0]], dtype=np.uint64),
+                        "channel": SKEW_CHANNEL,
+                        # int32 would overflow for quadratic drop counts;
+                        # carry the exact value in a dedicated column
+                        "bucket_size": np.int32(0),
+                        "dropped": np.int64(dropped_total),
+                    }
+                )
+            )
+        out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else cold
+        if "dropped" not in out.columns:
+            out["dropped"] = np.int64(0)
+        else:
+            out["dropped"] = out["dropped"].fillna(0).astype(np.int64)
+        return out
 
     return bucketed_group_apply(band_rows, "band_key", _pairs_bucket, num_partitions)
 
@@ -291,15 +328,21 @@ def dedup_pairs(pairs: ray.data.Dataset, num_partitions: int = 64) -> ray.data.D
         dst = batch["dst"]
         lo = pc.min_element_wise(src, dst)
         hi = pc.max_element_wise(src, dst)
+        # __skew sentinels (src=0, dst=band key) pass through: lo=0≠hi
         keep = pc.not_equal(lo, hi)
-        return pa.table(
-            {
-                "src": lo.filter(keep),
-                "dst": hi.filter(keep),
-                "channel": batch["channel"].filter(keep),
-                "bucket_size": batch["bucket_size"].filter(keep),
-            }
-        )
+        cols = {
+            "src": lo.filter(keep),
+            "dst": hi.filter(keep),
+            "channel": batch["channel"].filter(keep),
+            "bucket_size": batch["bucket_size"].filter(keep),
+        }
+        if "dropped" in batch.column_names:
+            cols["dropped"] = batch["dropped"].filter(keep)
+        else:
+            cols["dropped"] = pa.array(
+                np.zeros(len(cols["src"]), dtype=np.int64), pa.int64()
+            )
+        return pa.table(cols)
 
     def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(_prio=df["channel"].map(prio).fillna(9))

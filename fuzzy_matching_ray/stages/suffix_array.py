@@ -103,6 +103,7 @@ def _substring_pairs_bucket(
             "dst": pd.Series(dtype="uint64"),
             "channel": pd.Series(dtype=object),
             "bucket_size": pd.Series(dtype="int32"),
+            "dropped": pd.Series(dtype="int64"),
         }
     )
     if not parts:
@@ -138,6 +139,7 @@ def _substring_pairs_bucket(
             "dst": np.asarray(dst, dtype=np.uint64),
             "channel": "substring",
             "bucket_size": np.int32(len(ids)),
+            "dropped": np.int64(0),
         }
     )
 

@@ -102,10 +102,16 @@ def connected_components(
     the iterative min-label-propagation rounds remain the path for
     genuinely huge edge sets, where they run with data-clamped
     partitioning."""
+    # materialize once: lazy callers would otherwise re-execute the
+    # entire upstream verify lineage for the count AND again for the
+    # solve
+    edges = edges.materialize()
     n_edges = edges.count()
 
+    from fuzzy_matching_ray.stages.grouped import sized_partitions
+
     if n_edges <= _SMALL_GRAPH_EDGES:
-        p = max(8, min(num_partitions, n_edges // 200_000 + 8))
+        p = sized_partitions(num_partitions, n_edges)
         # coerce to one block type first: edges are a union of Arrow
         # (verify) and pandas (bucketed exact-dedup) blocks, which
         # repartition refuses to merge
@@ -149,7 +155,7 @@ def connected_components(
     # corpus, so clamp the partition count to the data: oversized P
     # makes every round pay sort/task overhead proportional to P, which
     # dominated wall time (56s → 6s at 27k edges when P dropped 64 → 8).
-    p = max(8, min(num_partitions, n_edges // 200_000 + 8))
+    p = sized_partitions(num_partitions, n_edges)
 
     # bound the block count before iterating: upstream stages (verify
     # over millions of candidate pairs) can leave `edges` as hundreds of
@@ -249,9 +255,11 @@ def cluster_representatives(
         return out
 
     # same data-sized partition clamp as connected_components
+    from fuzzy_matching_ray.stages.grouped import sized_partitions
+
     try:
         n_rows = clusters.count()
     except Exception:
-        n_rows = 1 << 30
-    p = max(8, min(num_partitions, n_rows // 200_000 + 8))
+        n_rows = None
+    p = sized_partitions(num_partitions, n_rows)
     return bucketed_group_apply(clusters, "cluster_id", _rep, p)

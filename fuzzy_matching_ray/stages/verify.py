@@ -433,9 +433,21 @@ class VerifierPool:
         # pass 2 — exact kernels only where the estimate didn't rule
         # out.  With the broadcast shingle store the Jaccard kernel
         # reads array views; text is decoded only for the (rare) edit
-        # gray zone and fallback paths.
+        # gray zone and fallback paths.  __skew metric sentinels (and
+        # any pair where BOTH ids are unknown and no text is attached —
+        # empty-text fallbacks would spuriously score 1.0) never match.
+        from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+
         chan_arr = np.asarray(channels, dtype=object)
-        todo = np.flatnonzero(need_exact | (chan_arr == "exact") | (chan_arr == "substring"))
+        unknown = (rs_sig < 0) & (rd_sig < 0) & (rs_txt < 0) & (rd_txt < 0)
+        if "src_text" in batch.column_names:
+            unknown &= np.asarray([t is None for t in src_texts])
+        dead = (chan_arr == SKEW_CHANNEL) | unknown
+        jac[dead] = 0.0
+        need_exact &= ~dead
+        todo = np.flatnonzero(
+            (need_exact | (chan_arr == "exact") | (chan_arr == "substring")) & ~dead
+        )
         for i in todo:
             if channels[i] == "exact":
                 jac[i] = 1.0
@@ -503,26 +515,27 @@ def verify_pairs(
         n = doc_count if doc_count is not None else docs.count()
         attach = "broadcast" if n <= 2_000_000 else "shuffle"
 
+    # count BEFORE the attach step: attach is lazy, and counting through
+    # it would execute the (expensive) shuffle-join twice
+    try:
+        n_pairs = pairs.count()
+    except Exception:
+        n_pairs = None
+
     store_ref = None
     if attach == "broadcast":
         pairs, store_ref = attach_texts_broadcast(pairs, docs, cfg, sigs=sigs)
     else:
         pairs = attach_texts_shuffle(pairs, docs)
 
-    # fixed-size pool sized to the cluster (an autoscaling pool ramps
-    # from one actor and leaves the stage single-threaded for most of
-    # its life; a fixed pool larger than the cluster deadlocks waiting
-    # for actors that can never get a CPU)
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    pool = max(1, min(cfg.verify_concurrency, ncpu - 2))
-    # clamp the pool to the data volume too: ~100k pairs/s per actor
-    # means a pool beyond n_pairs/100k starts actors (1-2s each of
-    # startup overhead) that never pay for themselves
-    try:
-        n_pairs = pairs.count()
-        pool = max(2, min(pool, n_pairs // 100_000 + 1))
-    except Exception:
-        pass
+    # fixed-size pool sized to the cluster and the data volume (an
+    # autoscaling pool ramps from one actor and leaves the stage
+    # single-threaded for most of its life; ~100k pairs/s per actor
+    # means a pool beyond n_pairs/100k starts actors that never pay
+    # for their 1-2s startup)
+    from fuzzy_matching_ray.stages.grouped import sized_pool
+
+    pool = sized_pool(cfg.verify_concurrency, n_pairs, 100_000)
     # spread pair blocks across the whole pool ONLY when blocks are
     # scarce — Ray's repartition funnels all rows through a single
     # reduce task, which costs more than the map stage it feeds when

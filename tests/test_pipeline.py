@@ -103,7 +103,7 @@ def test_hot_band_salting():
     from fuzzy_matching_ray.stages.minhash import _bucket_pairs
 
     ids = np.arange(5000, 6000, dtype=np.uint64)  # 1000 node ids
-    df = _bucket_pairs(ids, max_bucket=64, channel="minhash")
+    df, _dropped = _bucket_pairs(ids, max_bucket=64, channel="minhash")
     assert len(df) < 1000 * 999 // 2 / 10  # far fewer than all-pairs
     assert (df.bucket_size == 1000).all()
 

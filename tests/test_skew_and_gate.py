@@ -15,7 +15,7 @@ from fuzzy_matching_ray.cli import parse_match_fields, parse_name_fields
 
 def test_bucket_pair_budget_and_chain_links():
     ids = np.arange(1000, 1300, dtype=np.uint64)  # 300 node ids
-    out = _bucket_pairs(ids, max_bucket=64, channel="minhash", max_pairs=2016)
+    out, dropped = _bucket_pairs(ids, max_bucket=64, channel="minhash", max_pairs=2016)
     # first chunk emits C(64,2)=2016 cross pairs; the remaining 4 chunks
     # contribute exactly one chain link each
     cross = len(out) - 4
@@ -23,14 +23,15 @@ def test_bucket_pair_budget_and_chain_links():
     assert (out["bucket_size"] == 300).all()
     # chain links anchor to the bucket's min id
     assert (out["src"] == ids.min()).sum() >= 4
-    # drop accounting input: C(300,2) - emitted is recoverable
-    assert 300 * 299 // 2 - cross == 42834
+    # exact drop accounting returned alongside the pairs
+    assert dropped == 300 * 299 // 2 - 2016 == 42834
 
 
 def test_bucket_pairs_unbudgeted_full():
     ids = np.arange(10, dtype=np.uint64)
-    out = _bucket_pairs(ids, max_bucket=64, channel="minhash")
+    out, dropped = _bucket_pairs(ids, max_bucket=64, channel="minhash")
     assert len(out) == 45  # C(10,2), no chunking below max_bucket
+    assert dropped == 0
 
 
 def test_sig_est_gate_preserves_edges(ray_session, tiny_transcripts):
