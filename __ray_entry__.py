@@ -291,54 +291,57 @@ def _q_customer_per_nation(sf_dir: str):
     return ds.groupby("n_name").aggregate(Count(alias_name="n_customers"))
 
 
-def _q_customers_without_orders(sf_dir: str):
-    """Anti-join: customers with no high-value order (broadcast key-set
-    filter — the small-side pattern for semi/anti joins, SURVEY.md
-    §2.8).  The price predicate is pushed into the key-side scan."""
+def _keyset_join(
+    probe, probe_key: str, build, build_key: str, build_pred, invert: bool
+):
+    """Broadcast key-set semi/anti join (SURVEY.md §2.8): collect the
+    (predicate-filtered) build-side keys once, ``ray.put`` them, filter
+    probe batches with vectorized ``pc.is_in``."""
     import ray
     import pyarrow.compute as pc
 
-    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
     keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        flt = b.filter(pc.greater(b["o_totalprice"], 300000.0))
-        keys.update(flt["o_custkey"].to_pylist())
-    keys_ref = ray.put(keys)
+    for b in build.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        flt = b.filter(build_pred(b))
+        keys.update(flt[build_key].to_pylist())
+    keys_ref = ray.put(sorted(keys))
 
-    def _anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
+    def _filter(batch: pa.Table) -> pa.Table:
+        vs = pa.array(ray.get(keys_ref))
+        mask = pc.is_in(batch[probe_key], value_set=vs)
+        if invert:
+            mask = pc.invert(mask)
         return batch.filter(mask)
 
-    return (
-        _read(sf_dir, "customer")
-        .select_columns(["c_custkey", "c_name"])
-        .map_batches(_anti, batch_format="pyarrow")
+    return probe.map_batches(_filter, batch_format="pyarrow")
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no high-value order (predicate pushed
+    into the key-side scan)."""
+    import pyarrow.compute as pc
+
+    return _keyset_join(
+        _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"]),
+        "c_custkey",
+        _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]),
+        "o_custkey",
+        lambda b: pc.greater(b["o_totalprice"], 300000.0),
+        invert=True,
     )
 
 
 def _q_suppliers_with_parts(sf_dir: str):
-    """Semi-join: suppliers with at least one top-priced lineitem
-    (broadcast key-set membership; predicate pushed into the scan)."""
-    import ray
+    """Semi-join: suppliers with at least one top-priced lineitem."""
     import pyarrow.compute as pc
 
-    li = _read(sf_dir, "lineitem").select_columns(["l_suppkey", "l_extendedprice"])
-    keys = set()
-    for b in li.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        flt = b.filter(pc.greater_equal(b["l_extendedprice"], 104800.0))
-        keys.update(flt["l_suppkey"].to_pylist())
-    keys_ref = ray.put(keys)
-
-    def _semi(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pa.array([k in ks for k in batch["s_suppkey"].to_pylist()])
-        return batch.filter(mask)
-
-    return (
-        _read(sf_dir, "supplier")
-        .select_columns(["s_suppkey", "s_name"])
-        .map_batches(_semi, batch_format="pyarrow")
+    return _keyset_join(
+        _read(sf_dir, "supplier").select_columns(["s_suppkey", "s_name"]),
+        "s_suppkey",
+        _read(sf_dir, "lineitem").select_columns(["l_suppkey", "l_extendedprice"]),
+        "l_suppkey",
+        lambda b: pc.greater_equal(b["l_extendedprice"], 104800.0),
+        invert=False,
     )
 
 
