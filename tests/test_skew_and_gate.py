@@ -72,3 +72,47 @@ def test_parse_name_fields():
     assert parse_name_fields("a=b, c = d") == {"a": "b", "c": "d"}
     assert parse_name_fields(None) is None
     assert parse_name_fields("") is None
+
+
+def test_skew_sentinels_flow_and_exact_drop_metric(ray_session):
+    """Sentinel rows must survive pair dedup, carry the exact dropped
+    count, and be excluded from the verification stream."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fuzzy_matching_ray.config import PipelineConfig
+    from fuzzy_matching_ray.pipelines.dedup import _dropped_pairs
+    from fuzzy_matching_ray.stages.minhash import (
+        SKEW_CHANNEL,
+        candidate_pairs_from_buckets,
+        dedup_pairs,
+    )
+
+    cfg = PipelineConfig(num_partitions=4, max_band_bucket=8, max_pairs_per_bucket=28)
+    # one mega-band (100 docs) + one small band (3 docs)
+    nids = np.arange(1, 101, dtype=np.uint64)
+    rows = pa.table(
+        {
+            "band_key": pa.array(
+                np.concatenate([np.full(100, 7, np.uint64), np.full(3, 9, np.uint64)]),
+                pa.uint64(),
+            ),
+            "nid": pa.array(np.concatenate([nids, nids[:3]]), pa.uint64()),
+        }
+    )
+    pairs = dedup_pairs(
+        candidate_pairs_from_buckets(rd.from_arrow(rows), cfg, "minhash", 4), 4
+    ).materialize()
+    dropped = _dropped_pairs(pairs, cfg)
+    # mega-band: 13 chunks of ≤8; budget 28 = C(8,2) allows exactly the
+    # first chunk's 28 cross pairs → dropped = C(100,2) - 28
+    assert dropped == 100 * 99 // 2 - 28
+    df = pairs.to_pandas()
+    skew = df[df.channel == SKEW_CHANNEL]
+    assert len(skew) == 1 and int(skew.dropped.iloc[0]) == dropped
+    # real pairs: 28 cross + 12 chain links; the small band's C(3,2)=3
+    # pairs duplicate mega-band first-chunk pairs and are deduped away
+    real = df[df.channel != SKEW_CHANNEL]
+    assert (real.dropped == 0).all()
+    assert len(real) == 28 + 12
