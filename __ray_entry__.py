@@ -39,6 +39,24 @@ def _transcripts_dir(sf_dir: str) -> str:
     return write_transcripts(out, TranscriptGenConfig(n_convs=n, seed=42))
 
 
+def _ensure_oracle_fixtures() -> None:
+    """Pre-write the deterministic fixtures the sf0.01 DuckDB oracles
+    read (``fixtures.py``): the oracle SQL may run before or after the
+    Ray query, and both must see identical files.  Pure numpy/pyarrow —
+    no Ray."""
+    from fuzzy_matching_ray import fixtures
+
+    _transcripts_dir("/root/testdata/sf0.01")
+    fixtures.ensure_person_fixtures("sf0.01")
+    fixtures.ensure_translit_fixtures()
+
+
+try:  # never let fixture generation break module import
+    _ensure_oracle_fixtures()
+except Exception:  # pragma: no cover
+    pass
+
+
 def _read(sf_dir: str, table: str):
     import ray.data as rd
 
@@ -135,35 +153,25 @@ def _q_assemble_docs(sf_dir: str):
 def _q_record_match(sf_dir: str):
     import ray.data as rd
 
-    from fuzzy_matching_ray.config import MatchConfig, MatchFieldConfig
-    from fuzzy_matching_ray.datagen import PersonGenConfig, generate_person_records
+    from fuzzy_matching_ray import fixtures
     from fuzzy_matching_ray.pipelines.record_match import match_records
 
     sf = os.path.basename(os.path.normpath(sf_dir))
-    n = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 1500}.get(sf, 100)
-    orig, var = generate_person_records(PersonGenConfig(n_records=n, language="mixed"))
-    cfg = MatchConfig(
-        fields=(
-            MatchFieldConfig("last_name", 0.4),
-            MatchFieldConfig("first_name", 0.3),
-            MatchFieldConfig("middle_name", 0.2),
-            MatchFieldConfig("email", 0.1),
-        ),
-        threshold=0.7,
-        block_field="last_name",
-        sort_before_match=True,
+    paths = fixtures.ensure_person_fixtures(sf)
+    cfg = fixtures._match_config()
+    return match_records(
+        rd.read_parquet(paths["originals"]), rd.read_parquet(paths["variants"]), cfg
     )
-    return match_records(rd.from_pandas(pd.DataFrame(orig)), rd.from_pandas(pd.DataFrame(var)), cfg)
 
 
 def _q_transliterate(sf_dir: str):
     import ray.data as rd
 
-    from fuzzy_matching_ray.datagen import PersonGenConfig, generate_person_records
+    from fuzzy_matching_ray import fixtures
     from fuzzy_matching_ray.pipelines.record_match import transliterate_dataset
 
-    orig, _ = generate_person_records(PersonGenConfig(n_records=200, language="ru"))
-    ds = rd.from_pandas(pd.DataFrame(orig))
+    paths = fixtures.ensure_translit_fixtures()
+    ds = rd.read_parquet(paths["originals"])
     return transliterate_dataset(ds, "en", ["last_name", "first_name", "middle_name"])
 
 
@@ -408,7 +416,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The driver compares at sf=0.01 only, so fixture-backed oracles
+    # reference the deterministic sf0.01 files written at import time
+    # by _ensure_oracle_fixtures() (same seed → byte-identical whether
+    # the Ray query or the SQL runs first).
     return {
+        "assemble_docs": (
+            # per-conversation reassembly invariant: n_turns = turn
+            # count, n_chars = sum of turn lengths + (n_turns-1)
+            # one-char separators ('\n' join)
+            "SELECT conv_id, count(*)::INT AS n_turns, "
+            "(sum(length(text)) + count(*) - 1)::BIGINT AS n_chars "
+            f"FROM read_parquet('{_CACHE_ROOT}/transcripts_sf0.01/turns/*.parquet') "
+            "GROUP BY conv_id"
+        ),
+        "record_match_persons": (
+            # greedy 1:1 matcher golden: serial ReferenceMatcher output
+            # frozen at fixture-write time (fixtures.py) — checks the
+            # distributed blocking/shuffle path against single-process
+            # reference semantics
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/persons_sf0.01/match_golden.parquet')"
+        ),
+        "transliterate_persons": (
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/persons_translit/translit_golden.parquet')"
+        ),
+        "langid_documents": (
+            # exact SQL mirror of extras.textstats.language_id: CJK →
+            # zh, Cyrillic-dominant → ru, else first-wins argmax of
+            # stopword hits over distinct lowercase tokens, 'und' if 0
+            "WITH t AS (SELECT doc_id, text, "
+            "list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS toks "
+            "FROM documents), "
+            "h AS (SELECT doc_id, text, "
+            "len(list_intersect(toks, ['the','of','and','a','to','in','is','it','that','for','with','on','as'])) AS h_en, "
+            "len(list_intersect(toks, ['le','la','les','de','des','et','un','une','est','que','pour','dans','du'])) AS h_fr, "
+            "len(list_intersect(toks, ['el','la','los','las','de','y','un','una','es','que','para','en','del'])) AS h_es, "
+            "len(list_intersect(toks, ['der','die','das','und','ein','eine','ist','zu','mit','für','auf','den'])) AS h_de "
+            "FROM t) "
+            "SELECT doc_id, CASE "
+            "WHEN regexp_matches(substr(text, 1, 400), '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+            "WHEN length(regexp_replace(substr(text, 1, 2000), '[^\\p{L}]', '', 'g')) > 0 "
+            "AND length(regexp_replace(substr(text, 1, 2000), '[^а-яА-Я]', '', 'g'))::DOUBLE "
+            "/ length(regexp_replace(substr(text, 1, 2000), '[^\\p{L}]', '', 'g')) > 0.5 THEN 'ru' "
+            "WHEN h_en = 0 AND h_fr = 0 AND h_es = 0 AND h_de = 0 THEN 'und' "
+            "WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en' "
+            "WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr' "
+            "WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS lang_pred "
+            "FROM h"
+        ),
+        "minhash_dedup_documents": (
+            # brute-force independent oracle for the LSH pipeline:
+            # exact string 5-shingle sets over canonicalized text,
+            # all-pairs Jaccard ≥ 0.7, connected components via a
+            # recursive CTE, cluster_id = lexicographic min member
+            # (matching union_find's min-conv_id label)
+            "WITH RECURSIVE canon AS ("
+            "SELECT doc_id::VARCHAR AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t "
+            "FROM documents), "
+            "sh AS (SELECT id, CASE WHEN length(t) < 5 THEN [t] "
+            "ELSE list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i::INT, 5))) END AS s "
+            "FROM canon), "
+            "e AS (SELECT a.id AS src, b.id AS dst "
+            "FROM sh a JOIN sh b ON a.id < b.id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7), "
+            "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), "
+            "reach(a, b) AS (SELECT id, id FROM sh UNION "
+            "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src) "
+            "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"
+        ),
         "exact_dedup_documents": (
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
         ),

@@ -65,11 +65,18 @@ def minhash_dedup_docs(
     text_col: str = "text",
 ) -> ray.data.Dataset:
     """MinHash/LSH near-dup clusters over a document table:
-    (doc_id, cluster_id)."""
+    (doc_id, cluster_id).
+
+    Default semantics are **pure shingle-Jaccard ≥ threshold** (the
+    edit-similarity acceptance channel is off), which makes the
+    operator's edge set brute-force-checkable by the DuckDB oracle
+    (``__ray_entry__.oracle_sql()['minhash_dedup_documents']``:
+    exact string shingle sets + a recursive-CTE connected components).
+    Pass a custom ``cfg`` to re-enable the edit channel."""
     from fuzzy_matching_ray.stages.minhash import compute_signatures
     from fuzzy_matching_ray.stages.verify import edges_to_conv_ids
 
-    cfg = cfg or PipelineConfig(num_partitions=8)
+    cfg = cfg or PipelineConfig(num_partitions=8, edit_accept_threshold=0.0)
     docs = canonicalize_documents(_as_conv(ds, id_col, text_col), cfg).materialize()
     n = docs.count()
     sigs = compute_signatures(docs, cfg).materialize()
