@@ -58,8 +58,15 @@ def dedup_transcripts(
     *,
     channels: tuple[str, ...] = ("minhash",),
     keep_docs: bool = True,
+    attach: str = "auto",
 ) -> DedupResult:
-    """Run the full pipeline on a transcripts Dataset."""
+    """Run the full pipeline on a transcripts Dataset.
+
+    ``attach`` selects the verify payload path: ``'broadcast'`` (doc
+    store shipped once via ``ray.put``; signatures carry shingle sets)
+    or ``'shuffle'`` (bucketed join attach; the signature dataset stays
+    narrow and shingles are recomputed from attached text — the >2M-doc
+    mode).  ``'auto'`` picks by unique-doc count."""
     import time as _time
 
     cfg = cfg or PipelineConfig()
@@ -99,11 +106,27 @@ def dedup_transcripts(
     metrics["unique_docs"] = uniq_docs.count()
     _lap("exact_dedup")
 
+    # payload-attach mode decided up front: it gates whether shingle
+    # sets (an ~8×-corpus payload) are carried on the signature dataset
+    # at all — they are only useful to the broadcast store
+    if attach == "auto":
+        attach = "broadcast" if metrics["unique_docs"] <= 2_000_000 else "shuffle"
+    metrics["attach_mode"] = attach
+
     # MinHash signatures are computed exactly once (narrow conv_id+sig
     # dataset) and reused by band generation AND the verifier's
     # estimate gate — recomputing them per verifier actor would
     # dominate the verify stage
-    sigs = compute_signatures(uniq_docs, cfg).materialize() if "minhash" in channels else None
+    sigs = (
+        compute_signatures(uniq_docs, cfg, with_shingles=(attach == "broadcast")).materialize()
+        if "minhash" in channels
+        else None
+    )
+    if sigs is not None:
+        try:
+            metrics["sigs_bytes"] = int(sigs.size_bytes())
+        except Exception:
+            pass
     _lap("signatures")
 
     # candidate generation channels over unique docs
@@ -150,11 +173,20 @@ def dedup_transcripts(
         from fuzzy_matching_ray.stages.verify import edges_to_conv_ids
 
         verified = verify_pairs(
-            uniq_pairs, uniq_docs, cfg, doc_count=metrics["unique_docs"], sigs=sigs
+            uniq_pairs,
+            uniq_docs,
+            cfg,
+            attach=attach,
+            doc_count=metrics["unique_docs"],
+            sigs=sigs,
+            metrics=metrics,
         )
         # verified pairs travel as uint64 node ids; conv_id strings
         # reappear only here, on the (small) surviving edge set
-        verified = edges_to_conv_ids(verified, uniq_docs)
+        verified = edges_to_conv_ids(
+            verified, uniq_docs, doc_count=metrics["unique_docs"],
+            num_partitions=cfg.num_partitions,
+        )
         return verified.union(exact_edges)
 
     if ckpt:

@@ -61,8 +61,9 @@ class MinHashSignatures:
     the verify stage (every actor sees pairs spanning the corpus).
     """
 
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, with_shingles: bool = True):
         self.cfg = cfg
+        self.with_shingles = with_shingles
         self.a, self.b = minhash_coeffs(cfg.num_perm, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -75,34 +76,44 @@ class MinHashSignatures:
         offsets[0] = 0
         for i, t in enumerate(texts):
             sh = char_shingle_hashes(t or "", k)
-            sh_parts.append(sh)
-            offsets[i + 1] = offsets[i] + sh.size
+            if self.with_shingles:
+                sh_parts.append(sh)
+                offsets[i + 1] = offsets[i] + sh.size
             out[i] = minhash_signature(sh, self.a, self.b)
-        flat = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
         from fuzzy_matching_ray.hashing import nid_of
 
+        cols = {
+            "conv_id": batch["conv_id"],
+            "nid": pa.array(nid_of(batch["conv_id"].to_pylist()), pa.uint64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(out.reshape(-1), pa.uint64()), self.cfg.num_perm
+            ),
+        }
         # the sorted-unique shingle sets ride along so the verifier's
         # exact-Jaccard kernel never recomputes them per actor (that
-        # duplicated work is CPU-count-independent and kills scaling)
-        return pa.table(
-            {
-                "conv_id": batch["conv_id"],
-                "nid": pa.array(nid_of(batch["conv_id"].to_pylist()), pa.uint64()),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(out.reshape(-1), pa.uint64()), self.cfg.num_perm
-                ),
-                # large_list: int64 offsets — int32 would overflow for
-                # batches with >2^31 cumulative shingles (long docs)
-                "shingles": pa.LargeListArray.from_arrays(
-                    pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
-                ),
-            }
-        )
+        # duplicated work is CPU-count-independent and kills scaling).
+        # ``with_shingles=False`` (the big-side / shuffle-attach mode)
+        # skips this ~8 bytes/char payload: the signature dataset then
+        # stays a narrow (nid, sig) table instead of ~8× the corpus in
+        # the object store, and verifiers recompute shingles from the
+        # shuffle-attached text instead.
+        if self.with_shingles:
+            flat = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
+            # large_list: int64 offsets — int32 would overflow for
+            # batches with >2^31 cumulative shingles (long docs)
+            cols["shingles"] = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
+            )
+        return pa.table(cols)
 
 
-def compute_signatures(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
-    """docs(conv_id, text_canon, …) → narrow ``(conv_id, sig)`` dataset
-    (actor pool; only the two needed columns leave the doc store).
+def compute_signatures(
+    docs: ray.data.Dataset, cfg: PipelineConfig, with_shingles: bool = True
+) -> ray.data.Dataset:
+    """docs(conv_id, text_canon, …) → narrow ``(conv_id, nid, sig)``
+    dataset (actor pool; only the two needed columns leave the doc
+    store).  ``with_shingles`` additionally carries the shingle sets
+    for the broadcast-attach verify mode (see ``MinHashSignatures``).
 
     Fixed-size pool clamped to the cluster CPU count AND the data
     volume (per-actor startup is ~1-2s of pure overhead; signatures
@@ -117,7 +128,7 @@ def compute_signatures(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.
     pool = sized_pool(cfg.sig_concurrency, n_docs, 2000)
     return docs.select_columns(["conv_id", "text_canon"]).map_batches(
         MinHashSignatures,
-        fn_constructor_args=(cfg,),
+        fn_constructor_args=(cfg, with_shingles),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
         concurrency=pool,
@@ -194,15 +205,21 @@ def _bucket_pairs(
     for start in range(0, n, max_bucket):
         chunk = ids_arr[start : start + max_bucket]
         m = chunk.size
-        if m >= 2 and emitted < max_pairs:
+        # a chunk is admitted only if its FULL pair count fits the
+        # remaining budget (admitting at `emitted < max_pairs` would
+        # overshoot by up to C(max_bucket,2)-1 on unaligned budgets)
+        if m >= 2 and emitted + m * (m - 1) // 2 <= max_pairs:
             iu, ju = np.triu_indices(m, k=1)
             src_parts.append(chunk[iu])
             dst_parts.append(chunk[ju])
             emitted += iu.size
         if start > 0 or m < 2:
-            # chain chunks so one hot bucket still yields one component
+            # chain chunks so one hot bucket still yields one component;
+            # chain links are real cross pairs (bucket min × chunk head)
+            # and count as emitted, not dropped
             src_parts.append(ids_arr[:1])
             dst_parts.append(chunk[:1])
+            emitted += 1
     return (
         pd.DataFrame(
             {

@@ -32,6 +32,10 @@ from fuzzy_matching_ray.hashing import char_shingle_hashes
 
 _EDIT_PREFIX_CAP = 2048  # chars of text used for the edit-similarity gate
 
+# metric sentinel rows emitted by VerifierPool (one per batch) carrying
+# the estimate-gate skip count in edit_sim; never become edges
+GATE_CHANNEL = "__gate"
+
 
 def _as_arrow(batch) -> pa.Table:
     if isinstance(batch, pd.DataFrame):
@@ -184,94 +188,225 @@ def attach_texts_broadcast(
     return pairs, ray.put(store)
 
 
+def _pad_column(typ: pa.DataType, n: int) -> pa.Array:
+    """Type-preserving filler for the doc side of a bucketed join
+    union.  Numeric columns are zero-filled, NOT null-filled: an Arrow
+    uint64 column with nulls round-trips through pandas as float64 and
+    silently corrupts node ids above 2^53."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.nulls(n, typ)
+    return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), typ)
+
+
 def attach_texts_shuffle(
     pairs: ray.data.Dataset,
     docs: ray.data.Dataset,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
-    """Big-side attach: two union+groupby passes keyed on src then dst.
+    """Big-side attach: two bucketed hash-join passes keyed on src then
+    dst.  This is the designated path beyond broadcast scale (docs >
+    ~2M): ``doc_text`` never rides a full shuffle — each pass moves the
+    narrow ``(nid, text_canon)`` projection plus the id-only pair rows,
+    co-partitioned by ``hash(nid) % P``, and a *vectorized* pandas
+    merge attaches texts for a whole bucket at once (O(P) Python calls,
+    not one per document — ``stages/grouped.py``)."""
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
 
-    Each pass unions (key, text) doc rows with (key, pair-payload) rows
-    and broadcasts the doc text onto the pair rows inside
-    ``map_groups`` — the portable partitioned hash-join."""
     out = pairs
+    # track the evolving pair schema in Python: calling .schema() on the
+    # lazy intermediate would execute pass 1 once for the schema and
+    # again for pass 2
+    base = pairs.schema()
+    pair_names, pair_types = list(base.names), list(base.types)
     for side in ("src", "dst"):
 
-        def _doc_rows(b: pa.Table) -> pa.Table:
+        def _doc_rows(b: pa.Table, names=tuple(pair_names), types=tuple(pair_types)) -> pa.Table:
             from fuzzy_matching_ray.hashing import nid_of
 
-            return pa.table(
-                {
-                    "key": pa.array(nid_of(b["conv_id"].to_pylist()), pa.uint64()),
-                    "_text": b["text_canon"],
-                    "_is_doc": pa.array(np.ones(b.num_rows, dtype=bool)),
-                }
-            )
+            n = b.num_rows
+            cols = {
+                "key": pa.array(nid_of(b["conv_id"].to_pylist()), pa.uint64()),
+                "_is_doc": pa.array(np.ones(n, dtype=bool)),
+                "_text": b["text_canon"],
+            }
+            for name, typ in zip(names, types):
+                cols["p_" + name] = _pad_column(typ, n)
+            return pa.table(cols)
 
         doc_rows = docs.select_columns(["conv_id", "text_canon"]).map_batches(
             _doc_rows, batch_format="pyarrow"
         )
 
-        def _tag(b: pa.Table, side=side) -> pa.Table:
-            cols = {"key": b[side], "_is_doc": pa.array(np.zeros(b.num_rows, dtype=bool))}
-            for name in b.column_names:
+        def _pair_rows(b: pa.Table, side=side, names=tuple(pair_names)) -> pa.Table:
+            n = b.num_rows
+            cols = {
+                "key": b[side],
+                "_is_doc": pa.array(np.zeros(n, dtype=bool)),
+                "_text": pa.nulls(n, pa.string()),
+            }
+            for name in names:
                 cols["p_" + name] = b[name]
             return pa.table(cols)
 
-        pair_rows = out.map_batches(_tag, batch_format="pyarrow")
+        pair_rows = out.map_batches(_pair_rows, batch_format="pyarrow")
 
-        def _attach(g: pd.DataFrame, side=side) -> pd.DataFrame:
-            docs_g = g[g["_is_doc"]]
-            prs = g[~g["_is_doc"]].copy()
+        def _attach_bucket(df: pd.DataFrame, side=side) -> pd.DataFrame:
+            prs = df[~df["_is_doc"]]
             if prs.empty:
-                return pd.DataFrame()
-            text = docs_g["_text"].iloc[0] if len(docs_g) else None
-            out_df = prs[[c for c in prs.columns if c.startswith("p_")]].copy()
+                out_df = prs[[c for c in prs.columns if c.startswith("p_")]].copy()
+                out_df.columns = [c[2:] for c in out_df.columns]
+                out_df[side + "_text"] = pd.Series(dtype=object)
+                return out_df
+            docs_g = df.loc[df["_is_doc"], ["key", "_text"]].drop_duplicates("key")
+            merged = prs.drop(columns=["_is_doc", "_text"]).merge(
+                docs_g, on="key", how="left"
+            )
+            out_df = merged[[c for c in merged.columns if c.startswith("p_")]].copy()
             out_df.columns = [c[2:] for c in out_df.columns]
-            out_df[side + "_text"] = text
+            out_df[side + "_text"] = merged["_text"].to_numpy()
             return out_df
 
-        out = doc_rows.union(pair_rows).groupby("key").map_groups(_attach, batch_format="pandas")
+        out = bucketed_group_apply(
+            doc_rows.union(pair_rows), "key", _attach_bucket, num_partitions
+        )
+        pair_names.append(side + "_text")
+        pair_types.append(pa.string())
     return out
 
 
+def _renormalize_edge_strings(b: pa.Table) -> pa.Table:
+    """Pairs were (min,max)-normalized in nid space; re-normalize
+    lexicographically so the string-facing edge contract is stable."""
+    import pyarrow.compute as pc
+
+    cols = {name: b[name] for name in b.column_names}
+    lo = pc.min_element_wise(cols["src"], cols["dst"])
+    hi = pc.max_element_wise(cols["src"], cols["dst"])
+    cols["src"], cols["dst"] = lo, hi
+    return pa.table(cols)
+
+
 def edges_to_conv_ids(
-    edges: ray.data.Dataset, docs: ray.data.Dataset
+    edges: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    mode: str = "auto",
+    doc_count: int | None = None,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Map uint64 ``src``/``dst`` node ids back to ``conv_id`` strings.
 
-    Verified edges are a tiny fraction of candidate pairs, so the
-    string ids only reappear here, at the user-facing boundary.  The
-    reverse map is broadcast (``ray.put`` once); beyond broadcast scale
-    (~10⁷ docs) replace with a bucketed join against the docs table
-    keyed on nid — edges stay small either way."""
+    Verified edges are a tiny fraction of candidate pairs, so string
+    ids only reappear here, at the user-facing boundary.  Below ~2M
+    docs the reverse map is built by parallel per-block Ray tasks and
+    broadcast once (``ray.put``); beyond that (``mode='bucketed'``) the
+    mapping is a bucketed hash-join of the edge endpoints against the
+    narrow ``(nid, conv_id)`` doc projection — no driver-side dict over
+    the corpus ever exists on that path.
+
+    An edge id absent from ``docs`` is impossible by construction
+    (pairs derive from docs), so both paths fail loudly instead of
+    fabricating an id."""
     import ray as _ray
 
-    from fuzzy_matching_ray.hashing import hash64_str
+    if mode == "auto":
+        n = doc_count if doc_count is not None else docs.count()
+        mode = "broadcast" if n <= 2_000_000 else "bucketed"
+
+    if mode == "bucketed":
+        return _edges_to_conv_ids_bucketed(edges, docs, num_partitions)
+
+    def _pack_rev(batch) -> tuple[np.ndarray, list[str]]:
+        from fuzzy_matching_ray.hashing import nid_of
+
+        batch = _as_arrow(batch)
+        ids = batch["conv_id"].to_pylist()
+        return nid_of(ids), ids
 
     rev: dict[int, str] = {}
-    for batch in docs.select_columns(["conv_id"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        ids = batch["conv_id"].to_pylist()
-        rev.update((hash64_str(s), s) for s in ids)
+    for nids_b, ids_b in _gather_packed(docs.select_columns(["conv_id"]), _pack_rev, ()):
+        rev.update(zip(nids_b.tolist(), ids_b))
     rev_ref = _ray.put(rev)
 
     def _to_str(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         r = _ray.get(rev_ref)
         cols = {name: b[name] for name in b.column_names}
         for name in ("src", "dst"):
             vals = b[name].to_pylist()
-            cols[name] = pa.array([r.get(v, str(v)) for v in vals], pa.string())
-        # pairs were (min,max)-normalized in nid space; re-normalize
-        # lexicographically so the string-facing edge contract is stable
-        lo = pc.min_element_wise(cols["src"], cols["dst"])
-        hi = pc.max_element_wise(cols["src"], cols["dst"])
-        cols["src"], cols["dst"] = lo, hi
-        return pa.table(cols)
+            missing = [v for v in vals if v not in r]
+            if missing:
+                raise ValueError(
+                    f"edge {name} ids not present in docs (id-space bug): "
+                    f"{missing[:5]}{'…' if len(missing) > 5 else ''}"
+                )
+            cols[name] = pa.array([r[v] for v in vals], pa.string())
+        return _renormalize_edge_strings(pa.table(cols))
 
     return edges.map_batches(_to_str, batch_format="pyarrow")
+
+
+def _edges_to_conv_ids_bucketed(
+    edges: ray.data.Dataset, docs: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Bucketed-join variant: two passes keyed on the endpoint nid
+    (same machinery as ``attach_texts_shuffle``), replacing the uint64
+    endpoint with its ``conv_id`` string per pass."""
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    out = edges
+    base = edges.schema()
+    names, types = list(base.names), list(base.types)
+    for side in ("src", "dst"):
+
+        def _doc_rows(b: pa.Table, names=tuple(names), types=tuple(types)) -> pa.Table:
+            from fuzzy_matching_ray.hashing import nid_of
+
+            n = b.num_rows
+            cols = {
+                "key": pa.array(nid_of(b["conv_id"].to_pylist()), pa.uint64()),
+                "_is_doc": pa.array(np.ones(n, dtype=bool)),
+                "_cid": b["conv_id"],
+            }
+            for name, typ in zip(names, types):
+                cols["p_" + name] = _pad_column(typ, n)
+            return pa.table(cols)
+
+        def _edge_rows(b: pa.Table, side=side, names=tuple(names)) -> pa.Table:
+            n = b.num_rows
+            cols = {
+                "key": b[side].cast(pa.uint64()),
+                "_is_doc": pa.array(np.zeros(n, dtype=bool)),
+                "_cid": pa.nulls(n, pa.string()),
+            }
+            for name in names:
+                cols["p_" + name] = b[name]
+            return pa.table(cols)
+
+        doc_rows = docs.select_columns(["conv_id"]).map_batches(
+            _doc_rows, batch_format="pyarrow"
+        )
+        edge_rows = out.map_batches(_edge_rows, batch_format="pyarrow")
+
+        def _join(df: pd.DataFrame, side=side) -> pd.DataFrame:
+            ers = df[~df["_is_doc"]]
+            out_df = ers[[c for c in ers.columns if c.startswith("p_")]].copy()
+            out_df.columns = [c[2:] for c in out_df.columns]
+            if ers.empty:
+                out_df[side] = pd.Series(dtype=object)
+                return out_df
+            docs_g = df.loc[df["_is_doc"], ["key", "_cid"]].drop_duplicates("key")
+            merged = ers[["key"]].merge(docs_g, on="key", how="left")
+            if merged["_cid"].isna().any():
+                bad = ers.loc[merged["_cid"].isna().to_numpy(), "key"].tolist()[:5]
+                raise ValueError(f"edge {side} ids not present in docs: {bad}…")
+            out_df[side] = merged["_cid"].to_numpy()
+            return out_df
+
+        out = bucketed_group_apply(
+            doc_rows.union(edge_rows), "key", _join, num_partitions
+        )
+        types[names.index(side)] = pa.string()
+    return out.map_batches(_renormalize_edge_strings, batch_format="pyarrow")
 
 
 def _sorted_intersect_size(a: np.ndarray, b: np.ndarray) -> int:
@@ -297,8 +432,13 @@ class VerifierPool:
     with the estimate alone and never touch the shingle sets.
     """
 
-    def __init__(self, cfg: PipelineConfig, store_ref=None):
+    def __init__(self, cfg: PipelineConfig, store_ref=None, emit_gate_sentinels: bool = False):
         self.cfg = cfg
+        # when enabled, each output batch carries one __gate sentinel
+        # row whose edit_sim holds the count of pairs the estimate gate
+        # skipped — surfaced as metrics['gate_skipped_pairs'] so recall
+        # loss on adversarial corpora is observable (ADVICE item)
+        self.emit_gate_sentinels = emit_gate_sentinels
         # columnar nid-keyed store (sorted uint64 id arrays + flat
         # payload buffers) — see attach_texts_broadcast
         store = ray.get(store_ref) if store_ref is not None else None
@@ -429,6 +569,7 @@ class VerifierPool:
                 est[i] = float((sa == sb).mean())
             need_exact = est >= gate
             jac = np.where(need_exact, jac, est)
+        gate_skips = int(n - int(need_exact.sum())) if gate > 0 else 0
 
         # pass 2 — exact kernels only where the estimate didn't rule
         # out.  With the broadcast shingle store the Jaccard kernel
@@ -441,7 +582,11 @@ class VerifierPool:
         chan_arr = np.asarray(channels, dtype=object)
         unknown = (rs_sig < 0) & (rd_sig < 0) & (rs_txt < 0) & (rd_txt < 0)
         if "src_text" in batch.column_names:
-            unknown &= np.asarray([t is None for t in src_texts])
+            # a pair is only "dead" when NEITHER side has attached text
+            # (symmetric — a one-sided attach still scores via fallback)
+            unknown &= np.asarray([t is None for t in src_texts]) & np.asarray(
+                [t is None for t in dst_texts]
+            )
         dead = (chan_arr == SKEW_CHANNEL) | unknown
         jac[dead] = 0.0
         need_exact &= ~dead
@@ -483,7 +628,7 @@ class VerifierPool:
                 if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
                     edit[i] = indel_ratio(st[:_EDIT_PREFIX_CAP], dt[:_EDIT_PREFIX_CAP])
 
-        return pa.table(
+        out = pa.table(
             {
                 "src": batch["src"],
                 "dst": batch["dst"],
@@ -492,6 +637,18 @@ class VerifierPool:
                 "edit_sim": pa.array(edit, pa.float64()),
             }
         )
+        if self.emit_gate_sentinels and gate_skips:
+            sentinel = pa.table(
+                {
+                    "src": pa.array([0], pa.uint64()),
+                    "dst": pa.array([0], pa.uint64()),
+                    "channel": pa.array([GATE_CHANNEL], pa.string()),
+                    "jaccard": pa.array([-1.0], pa.float64()),
+                    "edit_sim": pa.array([float(gate_skips)], pa.float64()),
+                }
+            )
+            out = pa.concat_tables([out.cast(sentinel.schema), sentinel])
+        return out
 
 
 def verify_pairs(
@@ -502,31 +659,35 @@ def verify_pairs(
     attach: str = "auto",
     doc_count: int | None = None,
     sigs: ray.data.Dataset | None = None,
+    metrics: dict | None = None,
 ) -> ray.data.Dataset:
     """Score candidate pairs; emit edges with ``score >= threshold``.
 
     ``attach='broadcast'`` ships the doc store once per node via the
-    object store; ``'shuffle'`` re-attaches text through two grouped
-    passes.  ``'auto'`` broadcasts below 2M docs.  ``sigs`` is the
-    pre-computed MinHash signature dataset (verifiers fall back to a
-    per-actor signature cache without it).
-    """
+    object store; ``'shuffle'`` re-attaches text through two bucketed
+    join passes (the >2M-docs path — verifiers then recompute shingle
+    sets from the attached text per pair batch).  ``'auto'`` broadcasts
+    below 2M docs.  ``sigs`` is the pre-computed MinHash signature
+    dataset (verifiers fall back to a per-actor signature cache without
+    it).  When a ``metrics`` dict is passed, the returned edge set is
+    materialized and ``metrics['gate_skipped_pairs']`` records exactly
+    how many pairs the signature-estimate gate culled (observability
+    for the documented gate semantics)."""
     if attach == "auto":
         n = doc_count if doc_count is not None else docs.count()
         attach = "broadcast" if n <= 2_000_000 else "shuffle"
 
-    # count BEFORE the attach step: attach is lazy, and counting through
-    # it would execute the (expensive) shuffle-join twice
-    try:
-        n_pairs = pairs.count()
-    except Exception:
-        n_pairs = None
+    # materialize before counting: lazy callers would otherwise execute
+    # the whole candidate-generation lineage once for the count and
+    # again for the verification pass
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
 
     store_ref = None
     if attach == "broadcast":
         pairs, store_ref = attach_texts_broadcast(pairs, docs, cfg, sigs=sigs)
     else:
-        pairs = attach_texts_shuffle(pairs, docs)
+        pairs = attach_texts_shuffle(pairs, docs, cfg.num_partitions)
 
     # fixed-size pool sized to the cluster and the data volume (an
     # autoscaling pool ramps from one actor and leaves the stage
@@ -546,9 +707,10 @@ def verify_pairs(
         n_blocks = None
     if n_blocks is not None and n_blocks < pool * 2:
         pairs = pairs.repartition(pool * 4)
+    emit_gate = metrics is not None and cfg.sig_est_gate > 0
     scored = pairs.map_batches(
         VerifierPool,
-        fn_constructor_args=(cfg, store_ref),
+        fn_constructor_args=(cfg, store_ref, emit_gate),
         batch_format="pyarrow",
         batch_size=cfg.verify_batch_size,
         concurrency=pool,
@@ -564,6 +726,8 @@ def verify_pairs(
         mask = pc.greater_equal(batch["jaccard"], thr)
         if edit_thr > 0:
             mask = pc.or_(mask, pc.greater_equal(batch["edit_sim"], edit_thr))
+        if emit_gate:
+            mask = pc.or_(mask, pc.equal(batch["channel"], GATE_CHANNEL))
         out = batch.filter(mask)
         score = pc.max_element_wise(out["jaccard"], out["edit_sim"])
         return pa.table(
@@ -575,4 +739,15 @@ def verify_pairs(
             }
         )
 
-    return scored.map_batches(_filter, batch_format="pyarrow")
+    edges = scored.map_batches(_filter, batch_format="pyarrow")
+    if not emit_gate:
+        return edges
+    # split the metric sentinels off the (small, materialized) edge set
+    edges = edges.materialize()
+    gated = edges.filter(expr=f"channel == '{GATE_CHANNEL}'").select_columns(["score"])
+    total = 0
+    for b in gated.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        s = pa.compute.sum(b["score"]).as_py()
+        total += int(s or 0)
+    metrics["gate_skipped_pairs"] = total
+    return edges.filter(expr=f"channel != '{GATE_CHANNEL}'")

@@ -23,8 +23,9 @@ def test_bucket_pair_budget_and_chain_links():
     assert (out["bucket_size"] == 300).all()
     # chain links anchor to the bucket's min id
     assert (out["src"] == ids.min()).sum() >= 4
-    # exact drop accounting returned alongside the pairs
-    assert dropped == 300 * 299 // 2 - 2016 == 42834
+    # exact drop accounting returned alongside the pairs: chain links
+    # are emitted cross pairs, so they are NOT counted as dropped
+    assert dropped == 300 * 299 // 2 - 2016 - 4 == 42830
 
 
 def test_bucket_pairs_unbudgeted_full():
@@ -106,8 +107,9 @@ def test_skew_sentinels_flow_and_exact_drop_metric(ray_session):
     ).materialize()
     dropped = _dropped_pairs(pairs, cfg)
     # mega-band: 13 chunks of ≤8; budget 28 = C(8,2) allows exactly the
-    # first chunk's 28 cross pairs → dropped = C(100,2) - 28
-    assert dropped == 100 * 99 // 2 - 28
+    # first chunk's 28 cross pairs; the 12 chain links are emitted cross
+    # pairs too → dropped = C(100,2) - 28 - 12
+    assert dropped == 100 * 99 // 2 - 28 - 12
     df = pairs.to_pandas()
     skew = df[df.channel == SKEW_CHANNEL]
     assert len(skew) == 1 and int(skew.dropped.iloc[0]) == dropped
