@@ -25,3 +25,12 @@ from fuzzy_matching_ray.config import (  # noqa: F401
     TransliterationConfig,
     PipelineConfig,
 )
+from fuzzy_matching_ray.api import (  # noqa: F401
+    create_config,
+    create_matcher,
+    generate_test_datasets,
+    load_dataset,
+    match_datasets,
+    save_results,
+    transliterate_dataset,
+)

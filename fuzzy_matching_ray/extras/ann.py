@@ -57,16 +57,20 @@ def knn_bruteforce(
         sims = qm @ mat.T  # (Q, B)
         rows = []
         for r in range(qm.shape[0]):
-            s = sims[r]
             mask = np.ones(len(ids), dtype=bool)
             if exclude_self:
                 mask &= ids != qi[r]
             cand = np.nonzero(mask)[0]
             if cand.size == 0:
                 continue
-            take = cand[np.argsort(-s[cand], kind="stable")[: k]]
+            # rank by the ROUNDED similarity with ascending-id ties —
+            # the same total order the global reduce and the SQL oracle
+            # use, so a rounded tie at the k-boundary can never drop
+            # the lower-id neighbor inside a partial
+            sr = np.round(sims[r][cand], 6)
+            take = cand[np.lexsort((ids[cand], -sr))[:k]]
             for c in take:
-                rows.append((int(qi[r]), int(ids[c]), round(float(s[c]), 6)))
+                rows.append((int(qi[r]), int(ids[c]), round(float(sims[r][c]), 6)))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]).astype(
             {"query_id": "int64", "neighbor_id": "int64"}
         )
@@ -128,20 +132,33 @@ def knn_lsh(
         ids = batch[id_col].to_numpy().astype(np.int64)
         mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]]))
         bks = h.buckets(mat)  # (B, T)
-        sims = qm @ mat.T  # (Q, B)
+        # candidate mask per (query, row): shares ≥1 bucket in any table
+        cand_mask = (bks[None, :, :] == qb[:, None, :]).any(axis=2)  # (Q, B)
+        if exclude_self:
+            cand_mask &= ids[None, :] != qi[:, None]
+        col_any = cand_mask.any(axis=0)
+        if not col_any.any():
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        # the exact-similarity matmul touches ONLY candidate columns —
+        # this is where the LSH actually saves compute (the previous
+        # formulation computed the full Q×B matmul and used the buckets
+        # merely as an output filter)
+        col_idx = np.flatnonzero(col_any)
+        sims_sub = qm @ mat[col_idx].T  # (Q, |candidates|)
         out_rows = []
         for r in range(qm.shape[0]):
-            # candidate = shares ≥1 bucket with this query, any table
-            share = (bks == qb[r][None, :]).any(axis=1)
-            if exclude_self:
-                share &= ids != qi[r]
-            cand = np.nonzero(share)[0]
-            if cand.size == 0:
+            local = np.flatnonzero(cand_mask[r][col_idx])
+            if local.size == 0:
                 continue
-            s = sims[r]
-            take = cand[np.argsort(-s[cand], kind="stable")[: k]]
+            nbr_ids = ids[col_idx[local]]
+            sr = np.round(sims_sub[r][local], 6)
+            take = np.lexsort((nbr_ids, -sr))[:k]
             for c in take:
-                out_rows.append((int(qi[r]), int(ids[c]), round(float(s[c]), 6)))
+                out_rows.append((int(qi[r]), int(nbr_ids[c]), float(sr[c])))
         return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "sim"]).astype(
             {"query_id": "int64", "neighbor_id": "int64"}
         )

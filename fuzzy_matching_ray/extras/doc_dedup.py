@@ -152,31 +152,118 @@ def ngram_jaccard_pairs(
     slim = ds.map_batches(_prep, batch_format="pyarrow")
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_src: list[int] = []
-        out_dst: list[int] = []
-        out_i: list[int] = []
-        out_u: list[int] = []
+        """Prefix-filtered exact Jaccard join per block (Bayardo et al.
+        2007, "Scaling Up All Pairs Similarity Search"): tokens are
+        globally ordered rarest-first per block; a pair with
+        J ≥ t must share a token inside both docs' prefixes of length
+        ``|x| - ceil(t·|x|) + 1``, so candidates come from an inverted
+        index over prefix tokens only (plus the t·|A| ≤ |B| size
+        filter) instead of the all-pairs loop; exact inter/union then
+        verifies each candidate.  Output is identical to the all-pairs
+        formulation — only the candidate set shrinks."""
+        out_src: list[np.ndarray] = []
+        out_dst: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_u: list[np.ndarray] = []
+        pct = min_ratio_pct
         for _, g in df.groupby("block", sort=False):
             ids = g["id"].to_numpy()
-            toks = [set((t or "").strip().lower().split()) for t in g["text"]]
-            order = np.argsort(ids)
-            for ai in range(len(order)):
-                a = order[ai]
-                for bi in range(ai + 1, len(order)):
-                    b_ = order[bi]
-                    inter = len(toks[a] & toks[b_])
-                    union = len(toks[a] | toks[b_])
-                    if union and 100 * inter >= min_ratio_pct * union:
-                        out_src.append(int(ids[a]))
-                        out_dst.append(int(ids[b_]))
-                        out_i.append(inter)
-                        out_u.append(union)
+            n = len(ids)
+            if n < 2:
+                continue
+            tok_arrays = [
+                np.unique(np.asarray((t or "").strip().lower().split(), dtype=object))
+                for t in g["text"]
+            ]
+            # rarest-first global order: rank tokens by (block frequency,
+            # token) so prefix posting lists stay short
+            all_toks = (
+                np.concatenate(tok_arrays)
+                if any(a.size for a in tok_arrays)
+                else np.empty(0, dtype=object)
+            )
+            vocab, counts = np.unique(all_toks, return_counts=True)
+            rank_of = np.empty(vocab.size, dtype=np.int64)
+            rank_of[np.lexsort((vocab, counts))] = np.arange(vocab.size)
+            ranks = [
+                np.sort(rank_of[np.searchsorted(vocab, a)]) if a.size else a.astype(np.int64)
+                for a in tok_arrays
+            ]
+            sizes = np.fromiter((r.size for r in ranks), dtype=np.int64, count=n)
+
+            # inverted index over prefix tokens → candidate doc pairs
+            post_tok: list[np.ndarray] = []
+            post_doc: list[np.ndarray] = []
+            for d, r in enumerate(ranks):
+                L = r.size
+                if L == 0:
+                    continue
+                plen = L - (pct * L + 99) // 100 + 1
+                post_tok.append(r[:plen])
+                post_doc.append(np.full(plen, d, dtype=np.int64))
+            if not post_tok:
+                continue
+            pt = np.concatenate(post_tok)
+            pd_ = np.concatenate(post_doc)
+            order = np.argsort(pt, kind="stable")
+            pt, pd_ = pt[order], pd_[order]
+            bound = np.flatnonzero(np.r_[True, pt[1:] != pt[:-1], True])
+            cand_parts: list[np.ndarray] = []
+            for s, e in zip(bound[:-1], bound[1:]):
+                docs_here = np.sort(pd_[s:e])
+                m = docs_here.size
+                if m < 2:
+                    continue
+                iu, ju = np.triu_indices(m, k=1)
+                cand_parts.append(docs_here[iu] * n + docs_here[ju])
+            if not cand_parts:
+                continue
+            cand = np.unique(np.concatenate(cand_parts))
+            ca, cb = cand // n, cand % n
+            # size filter: J ≥ t ⟹ t·|A| ≤ |B| (and symmetrically)
+            sa, sb = sizes[ca], sizes[cb]
+            keep = (100 * np.minimum(sa, sb)) >= pct * np.maximum(sa, sb)
+            ca, cb = ca[keep], cb[keep]
+
+            src_b: list[int] = []
+            dst_b: list[int] = []
+            i_b: list[int] = []
+            u_b: list[int] = []
+            for a, b_ in zip(ca, cb):
+                ra, rb = ranks[a], ranks[b_]
+                if ra.size > rb.size:
+                    ra, rb = rb, ra
+                idx = np.searchsorted(rb, ra)
+                idx[idx == rb.size] = rb.size - 1
+                inter = int(np.count_nonzero(rb[idx] == ra))
+                union = int(sizes[a] + sizes[b_] - inter)
+                if union and 100 * inter >= pct * union:
+                    ia, ib = int(ids[a]), int(ids[b_])
+                    if ia > ib:
+                        ia, ib = ib, ia
+                    src_b.append(ia)
+                    dst_b.append(ib)
+                    i_b.append(inter)
+                    u_b.append(union)
+            out_src.append(np.asarray(src_b, dtype=np.int64))
+            out_dst.append(np.asarray(dst_b, dtype=np.int64))
+            out_i.append(np.asarray(i_b, dtype=np.int64))
+            out_u.append(np.asarray(u_b, dtype=np.int64))
+        if not out_src:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "inter_size": pd.Series(dtype="int64"),
+                    "union_size": pd.Series(dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "src": pd.Series(out_src, dtype="int64"),
-                "dst": pd.Series(out_dst, dtype="int64"),
-                "inter_size": pd.Series(out_i, dtype="int64"),
-                "union_size": pd.Series(out_u, dtype="int64"),
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "inter_size": np.concatenate(out_i),
+                "union_size": np.concatenate(out_u),
             }
         )
 

@@ -183,11 +183,21 @@ class FingerprintStage:
 
 
 def fingerprints(ds: ray.data.Dataset, k: int = 8, window: int = 16) -> ray.data.Dataset:
+    # fixed cluster-clamped pool (an autoscaling (1,N) pool ramps from
+    # one actor and leaves the stage serial for most of its life; a
+    # hard cap of 4 starves big clusters — see stages/grouped.sized_pool)
+    from fuzzy_matching_ray.stages.grouped import sized_pool
+
+    try:
+        n_docs = ds.count()
+    except Exception:
+        n_docs = None
+    pool = sized_pool(32, n_docs, 2000)
     return ds.map_batches(
         FingerprintStage,
         fn_constructor_args=(k, window),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, 4),
+        concurrency=pool,
         num_cpus=1,
     )

@@ -68,12 +68,22 @@ def simhash_band_rows(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
     """docs(conv_id, text_canon) → (band_key, nid) band rows for the
     SimHash channel.  Keys carry the chunk index in the high bits and a
     channel tag so they never collide with MinHash band keys."""
+    # fixed cluster-and-data-clamped pool: autoscaling (1, N) pools ramp
+    # from one actor and leave the stage effectively serial (measured in
+    # round 1 — see stages/grouped.sized_pool)
+    from fuzzy_matching_ray.stages.grouped import sized_pool
+
+    try:
+        n_docs = docs.count()
+    except Exception:
+        n_docs = None
+    pool = sized_pool(cfg.sig_concurrency, n_docs, 2000)
     sigs = docs.select_columns(["conv_id", "text_canon"]).map_batches(
         SimHashSignatures,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=(1, cfg.sig_concurrency),
+        concurrency=pool,
         num_cpus=1,
     )
     bands = cfg.simhash_bands

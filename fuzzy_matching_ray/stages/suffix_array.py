@@ -1,13 +1,17 @@
 """Channel C — partitioned suffix-array pass for exact long-substring
 contamination (no reference equivalent; north_rule addition).
 
-Per hash-bucket of documents, an actor-pool stage concatenates the
+Per hash-bucket of documents, a bucketed task concatenates the
 bucket's canonical texts (with per-doc sentinels), builds a suffix
 array by rank doubling (Manber–Myers, O(n log n) with numpy
-``lexsort``), computes LCP by Kasai's algorithm, and emits a candidate
-pair for every pair of *distinct* documents whose suffixes are adjacent
-in suffix order with LCP ≥ ``min_substring_len`` — i.e. the two
-documents share a verbatim substring at least that long.
+``lexsort``), and emits a candidate pair for every pair of *distinct*
+documents whose suffixes are adjacent in suffix order and agree on
+their first ``min_substring_len`` characters — i.e. the two documents
+share a verbatim substring at least that long.  The LCP≥k test is a
+vectorized staged comparison (``adjacent_lcp_at_least``): the first
+character kills ~all adjacencies, survivors are compared in growing
+chunks — no per-character Python loop (the Kasai formulation computed
+full LCPs one character at a time in Python and dominated the stage).
 
 **Partitioning assumption** (documented per the build brief): pairs are
 only found *within* a bucket.  Cross-bucket contamination is
@@ -15,6 +19,13 @@ approximated by the MinHash channel; to co-locate likely offenders,
 bucket by content anchor instead of conv_id hash if needed.  Memory per
 actor is O(bucket chars × ~16 bytes); size ``num_partitions`` so a
 bucket fits (``suffix_max_chars`` guards the concatenation).
+
+**Drop accounting** (north_rule): docs beyond the per-bucket char
+budget are excluded deterministically (conv_id order) and every cross
+pair lost that way — plus any found pairs beyond the pair budget — is
+counted EXACTLY on a ``__skew`` sentinel row, summed into the
+flagship's ``dropped_pairs_hot_buckets`` metric alongside the MinHash
+channel's sentinels.
 """
 
 from __future__ import annotations
@@ -57,46 +68,91 @@ def build_suffix_array(s: np.ndarray) -> np.ndarray:
     return sa
 
 
-def kasai_lcp(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """LCP array (lcp[i] = lcp(sa[i-1], sa[i])), Kasai's algorithm."""
+def adjacent_lcp_at_least(s: np.ndarray, sa: np.ndarray, k: int) -> np.ndarray:
+    """Boolean per adjacency i: lcp(suffix sa[i], suffix sa[i+1]) ≥ k.
+
+    Staged vectorized comparison: position 0 is checked for every
+    adjacency with two 1-D gathers (this kills almost all of them on
+    real text), survivors are compared in growing chunks.  The array is
+    padded with globally-unique negative values so out-of-range gathers
+    can never spuriously match."""
     n = s.size
-    lcp = np.zeros(n, dtype=np.int64)
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            max_h = n - max(i, j)
-            while h < max_h and s[i + h] == s[j + h]:
-                h += 1
-            lcp[r] = h
-            if h > 0:
-                h -= 1
-        else:
-            h = 0
-    return lcp
+    if n < 2:
+        return np.zeros(max(n - 1, 0), dtype=bool)
+    pad = -(np.arange(1, k + 2, dtype=np.int64) + (np.int64(1) << np.int64(40)))
+    sp = np.concatenate([s, pad])
+    left, right = sa[:-1], sa[1:]
+    alive = np.flatnonzero(sp[left] == sp[right])
+    off = 1
+    chunk = 4
+    while off < k and alive.size:
+        w = min(chunk, k - off)
+        cols = np.arange(off, off + w)
+        eq = (sp[left[alive][:, None] + cols] == sp[right[alive][:, None] + cols]).all(axis=1)
+        alive = alive[eq]
+        off += w
+        chunk = min(chunk * 2, 64)
+    out = np.zeros(n - 1, dtype=bool)
+    out[alive] = True
+    return out
 
 
 def _substring_pairs_bucket(
     ids: list[str], texts: list[str], min_len: int, max_pairs: int
 ) -> pd.DataFrame:
-    """All distinct-doc pairs sharing a ≥min_len verbatim substring."""
-    # concatenate with unique sentinels (negative ints) between docs
+    """All distinct-doc pairs sharing a ≥min_len verbatim substring,
+    plus one ``__skew`` sentinel when the char/pair budgets dropped
+    anything."""
+    from fuzzy_matching_ray.hashing import hash64_str, nid_of
+    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+
+    # deterministic inclusion order (bucket arrival order depends on
+    # shuffle scheduling): sort docs by conv_id before applying the
+    # char budget
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    ids = [ids[i] for i in order]
+    texts = [texts[i] for i in order]
+
     parts = []
     owners = []
     total = 0
+    n_docs = len(ids)
+    included = 0
     for di, t in enumerate(texts):
-        if not t:
-            continue
-        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        cps = (
+            np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            if t
+            else np.empty(0, dtype=np.int64)
+        )
         if total + cps.size > _SUFFIX_MAX_CHARS:
             break
         parts.append(cps)
         parts.append(np.array([-(di + 1)], dtype=np.int64))  # unique sentinel
         owners.append(np.full(cps.size + 1, di, dtype=np.int64))
         total += cps.size + 1
+        included += 1
+
+    # cross pairs lost to the char budget: every pair touching an
+    # excluded doc
+    dropped = n_docs * (n_docs - 1) // 2 - included * (included - 1) // 2
+
+    def _with_sentinel(frame: pd.DataFrame) -> pd.DataFrame:
+        if not dropped:
+            return frame
+        sentinel = pd.DataFrame(
+            {
+                "src": np.zeros(1, dtype=np.uint64),
+                # unique per bucket, disjoint from band-key sentinel space
+                "dst": np.asarray(
+                    [hash64_str("substr:" + (ids[0] if ids else ""))], dtype=np.uint64
+                ),
+                "channel": SKEW_CHANNEL,
+                "bucket_size": np.int32(0),
+                "dropped": np.int64(dropped),
+            }
+        )
+        return pd.concat([frame, sentinel], ignore_index=True)
+
     empty = pd.DataFrame(
         {
             "src": pd.Series(dtype="uint64"),
@@ -107,40 +163,36 @@ def _substring_pairs_bucket(
         }
     )
     if not parts:
-        return empty
+        return _with_sentinel(empty)
     s = np.concatenate(parts)
     owner = np.concatenate(owners)
     sa = build_suffix_array(s)
-    lcp = kasai_lcp(s, sa)
+    long_adj = adjacent_lcp_at_least(s, sa, min_len)
 
-    from fuzzy_matching_ray.hashing import nid_of
-
+    a_own = owner[sa[:-1]][long_adj]
+    b_own = owner[sa[1:]][long_adj]
+    diff = a_own != b_own
+    if not diff.any():
+        return _with_sentinel(empty)
     nids = nid_of(list(ids))
-    # adjacent suffixes with long LCP and different owners → pair
-    long_mask = lcp >= min_len
-    pairs: set[tuple[int, int]] = set()
-    idx = np.nonzero(long_mask)[0]
-    for r in idx:
-        a = owner[sa[r - 1]]
-        b = owner[sa[r]]
-        if a != b:
-            pa_, pb = int(nids[int(a)]), int(nids[int(b)])
-            if pa_ > pb:
-                pa_, pb = pb, pa_
-            pairs.add((pa_, pb))
-            if len(pairs) >= max_pairs:
-                break
-    if not pairs:
-        return empty
-    src, dst = zip(*sorted(pairs))
-    return pd.DataFrame(
-        {
-            "src": np.asarray(src, dtype=np.uint64),
-            "dst": np.asarray(dst, dtype=np.uint64),
-            "channel": "substring",
-            "bucket_size": np.int32(len(ids)),
-            "dropped": np.int64(0),
-        }
+    pa_ = nids[a_own[diff]]
+    pb = nids[b_own[diff]]
+    lo = np.minimum(pa_, pb)
+    hi = np.maximum(pa_, pb)
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    if pairs.shape[0] > max_pairs:
+        dropped += pairs.shape[0] - max_pairs
+        pairs = pairs[:max_pairs]
+    return _with_sentinel(
+        pd.DataFrame(
+            {
+                "src": pairs[:, 0].astype(np.uint64),
+                "dst": pairs[:, 1].astype(np.uint64),
+                "channel": "substring",
+                "bucket_size": np.int32(included),
+                "dropped": np.int64(0),
+            }
+        )
     )
 
 
