@@ -161,11 +161,11 @@ def dedup_transcripts(
     _lap("candidate_pairs")
 
     # skew accounting: exact dropped-cross-pair total carried by the
-    # __skew sentinel rows; sentinels are then excluded from verify
+    # __skew sentinel rows.  The sentinels flow INTO verify unfiltered
+    # (the verifier marks them dead, so they can never become edges) —
+    # filtering here would insert one more execution barrier over the
+    # full pair set just to drop a few hundred rows.
     metrics["dropped_pairs_hot_buckets"] = _dropped_pairs(uniq_pairs, cfg)
-    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
-
-    uniq_pairs = uniq_pairs.filter(expr=f"channel != '{SKEW_CHANNEL}'")
     _lap("skew_metrics")
 
     # verification

@@ -125,7 +125,9 @@ def compute_signatures(
         n_docs = docs.count()
     except Exception:
         n_docs = None
-    pool = sized_pool(cfg.sig_concurrency, n_docs, 2000)
+    # ~700 docs/actor: measured knee at sf0.1 (pool 12 → 2.5s vs pool 5
+    # → 3.2s; pool 24 no better — memory-bandwidth-bound beyond that)
+    pool = sized_pool(cfg.sig_concurrency, n_docs, 700)
     return docs.select_columns(["conv_id", "text_canon"]).map_batches(
         MinHashSignatures,
         fn_constructor_args=(cfg, with_shingles),

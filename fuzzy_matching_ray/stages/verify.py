@@ -677,17 +677,27 @@ def verify_pairs(
         n = doc_count if doc_count is not None else docs.count()
         attach = "broadcast" if n <= 2_000_000 else "shuffle"
 
+    import time as _time
+
+    detail: dict = {}
+    if metrics is not None:
+        metrics["verify_detail"] = detail
+    _t0 = _time.perf_counter()
+
     # materialize before counting: lazy callers would otherwise execute
     # the whole candidate-generation lineage once for the count and
     # again for the verification pass
     pairs = pairs.materialize()
     n_pairs = pairs.count()
+    detail["pairs_mat_s"] = round(_time.perf_counter() - _t0, 2)
+    _t0 = _time.perf_counter()
 
     store_ref = None
     if attach == "broadcast":
         pairs, store_ref = attach_texts_broadcast(pairs, docs, cfg, sigs=sigs)
     else:
         pairs = attach_texts_shuffle(pairs, docs, cfg.num_partitions)
+    detail["attach_s"] = round(_time.perf_counter() - _t0, 2)
 
     # fixed-size pool sized to the cluster and the data volume (an
     # autoscaling pool ramps from one actor and leaves the stage
@@ -743,7 +753,9 @@ def verify_pairs(
     if not emit_gate:
         return edges
     # split the metric sentinels off the (small, materialized) edge set
+    _t0 = _time.perf_counter()
     edges = edges.materialize()
+    detail["score_s"] = round(_time.perf_counter() - _t0, 2)
     gated = edges.filter(expr=f"channel == '{GATE_CHANNEL}'").select_columns(["score"])
     total = 0
     for b in gated.iter_batches(batch_size=65536, batch_format="pyarrow"):
