@@ -28,13 +28,7 @@ from fuzzy_matching_ray.config import PipelineConfig
 from fuzzy_matching_ray.stages.assemble import assemble_documents
 from fuzzy_matching_ray.stages.canonicalize import canonicalize_documents
 from fuzzy_matching_ray.stages.exact_dedup import add_text_hash, drop_exact_dups, exact_dup_edges
-from fuzzy_matching_ray.stages.minhash import (
-    compute_signatures,
-    candidate_pairs_from_buckets,
-    dedup_pairs,
-    minhash_band_rows,
-)
-from fuzzy_matching_ray.stages.simhash import simhash_band_rows
+from fuzzy_matching_ray.stages.minhash import compute_signatures, dedup_pairs
 from fuzzy_matching_ray.stages.union_find import (
     cluster_representatives,
     connected_components,
@@ -129,19 +123,11 @@ def dedup_transcripts(
             pass
     _lap("signatures")
 
-    # candidate generation channels over unique docs
-    pair_sets = []
-    if "minhash" in channels:
-        band_rows = minhash_band_rows(sigs, cfg)
-        pair_sets.append(candidate_pairs_from_buckets(band_rows, cfg, "minhash", cfg.num_partitions))
-    if "simhash" in channels:
-        srows = simhash_band_rows(uniq_docs, cfg)
-        pair_sets.append(candidate_pairs_from_buckets(srows, cfg, "simhash", cfg.num_partitions))
-    if "substring" in channels:
-        from fuzzy_matching_ray.stages.suffix_array import substring_pairs
+    # candidate generation channels over unique docs, resolved through
+    # the channel registry (user-pluggable — stages/channels.py)
+    from fuzzy_matching_ray.stages.channels import get_channel
 
-        pair_sets.append(substring_pairs(uniq_docs, cfg))
-
+    pair_sets = [get_channel(name)(uniq_docs, sigs, cfg) for name in channels]
     if not pair_sets:
         raise ValueError("at least one channel required")
     pairs = pair_sets[0]

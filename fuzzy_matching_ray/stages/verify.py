@@ -519,6 +519,10 @@ class VerifierPool:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+
         def _np(col):
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
@@ -526,8 +530,14 @@ class VerifierPool:
 
         srcs = _np(batch["src"])  # uint64 node ids
         dsts = _np(batch["dst"])
-        channels = batch["channel"].to_pylist()
         n = srcs.size
+        # channel tests stay vectorized Arrow kernels — materializing
+        # millions of per-pair Python strings via to_pylist dominated
+        # the scoring loop
+        chan_col = batch["channel"]
+        is_skew = _np(pc.equal(chan_col, SKEW_CHANNEL))
+        is_exact = _np(pc.equal(chan_col, "exact"))
+        is_substr = _np(pc.equal(chan_col, "substring"))
         src_texts = batch["src_text"].to_pylist() if "src_text" in batch.column_names else [None] * n
         dst_texts = batch["dst_text"].to_pylist() if "dst_text" in batch.column_names else [None] * n
 
@@ -577,9 +587,6 @@ class VerifierPool:
         # gray zone and fallback paths.  __skew metric sentinels (and
         # any pair where BOTH ids are unknown and no text is attached —
         # empty-text fallbacks would spuriously score 1.0) never match.
-        from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
-
-        chan_arr = np.asarray(channels, dtype=object)
         unknown = (rs_sig < 0) & (rd_sig < 0) & (rs_txt < 0) & (rd_txt < 0)
         if "src_text" in batch.column_names:
             # a pair is only "dead" when NEITHER side has attached text
@@ -587,17 +594,15 @@ class VerifierPool:
             unknown &= np.asarray([t is None for t in src_texts]) & np.asarray(
                 [t is None for t in dst_texts]
             )
-        dead = (chan_arr == SKEW_CHANNEL) | unknown
+        dead = is_skew | unknown
         jac[dead] = 0.0
         need_exact &= ~dead
-        todo = np.flatnonzero(
-            (need_exact | (chan_arr == "exact") | (chan_arr == "substring")) & ~dead
-        )
+        # exact-dup channel pairs are known-identical: score vectorized
+        live_exact = is_exact & ~dead
+        jac[live_exact] = 1.0
+        edit[live_exact] = 1.0
+        todo = np.flatnonzero((need_exact | is_substr) & ~dead & ~is_exact)
         for i in todo:
-            if channels[i] == "exact":
-                jac[i] = 1.0
-                edit[i] = 1.0
-                continue
             st = dt = None
             a = self._shingles_by_row(rs_sig[i])
             if a is None:

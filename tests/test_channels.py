@@ -1,0 +1,62 @@
+"""Channel registry: the user-extension surface (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fuzzy_matching_ray.config import PipelineConfig
+from fuzzy_matching_ray.stages.channels import (
+    get_channel,
+    register_channel,
+    registered_channels,
+)
+
+
+def test_builtin_channels_registered():
+    assert {"minhash", "simhash", "substring"} <= set(registered_channels())
+    with pytest.raises(ValueError, match="unknown channel"):
+        get_channel("nope")
+
+
+def test_custom_channel_plugs_into_pipeline(ray_session, tiny_transcripts):
+    """A registered custom channel feeds candidate pairs straight into
+    pair-dedup → verify → clustering."""
+    from fuzzy_matching_ray.hashing import nid_of
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    @register_channel("_test_first_last")
+    def _pair_first_last(uniq_docs, sigs, cfg):
+        def _emit(b: pa.Table) -> pa.Table:
+            nids = nid_of(b["conv_id"].to_pylist())
+            if nids.size < 2:
+                nids = np.concatenate([nids, nids])
+            return pa.table(
+                {
+                    "src": pa.array(nids[:1], pa.uint64()),
+                    "dst": pa.array(nids[-1:], pa.uint64()),
+                    "channel": pa.array(["_test_first_last"], pa.string()),
+                    "bucket_size": pa.array([2], pa.int32()),
+                    "dropped": pa.array([0], pa.int64()),
+                }
+            )
+
+        return uniq_docs.select_columns(["conv_id"]).map_batches(
+            _emit, batch_format="pyarrow"
+        )
+
+    turns = rd.read_parquet(tiny_transcripts["turns_dir"])
+    res = dedup_transcripts(
+        turns,
+        PipelineConfig(num_partitions=4),
+        channels=("minhash", "_test_first_last"),
+    )
+    # the custom channel only adds CANDIDATES; verification still gates
+    # edges, so the cluster structure must match the minhash-only run
+    base = dedup_transcripts(turns, PipelineConfig(num_partitions=4))
+    a = res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    b = base.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
