@@ -71,29 +71,35 @@ def build_suffix_array(s: np.ndarray) -> np.ndarray:
 def adjacent_lcp_at_least(s: np.ndarray, sa: np.ndarray, k: int) -> np.ndarray:
     """Boolean per adjacency i: lcp(suffix sa[i], suffix sa[i+1]) ≥ k.
 
-    Staged vectorized comparison: position 0 is checked for every
-    adjacency with two 1-D gathers (this kills almost all of them on
-    real text), survivors are compared in growing chunks.  The array is
-    padded with globally-unique negative values so out-of-range gathers
-    can never spuriously match."""
+    Position-at-a-time vectorized filtering: each round compares ONE
+    more character for every still-alive adjacency with two 1-D
+    gathers and shrinks the survivor set (adjacent suffixes in suffix
+    order share prefixes by construction, but random-text LCPs die
+    within ~log_σ(n) positions, so the alive set collapses fast); once
+    it is small, the remaining positions are checked in one 2-D
+    gather.  The array is padded with globally-unique negative values
+    so out-of-range gathers can never spuriously match."""
     n = s.size
     if n < 2:
         return np.zeros(max(n - 1, 0), dtype=bool)
     pad = -(np.arange(1, k + 2, dtype=np.int64) + (np.int64(1) << np.int64(40)))
     sp = np.concatenate([s, pad])
-    left, right = sa[:-1], sa[1:]
-    alive = np.flatnonzero(sp[left] == sp[right])
-    off = 1
-    chunk = 4
-    while off < k and alive.size:
-        w = min(chunk, k - off)
-        cols = np.arange(off, off + w)
-        eq = (sp[left[alive][:, None] + cols] == sp[right[alive][:, None] + cols]).all(axis=1)
-        alive = alive[eq]
-        off += w
-        chunk = min(chunk * 2, 64)
+    la = sa[:-1]
+    ra = sa[1:]
+    idx = np.arange(n - 1)
+    off = 0
+    while off < k and idx.size:
+        if idx.size > 4096:
+            eq = sp[la + off] == sp[ra + off]
+            la, ra, idx = la[eq], ra[eq], idx[eq]
+            off += 1
+        else:
+            cols = np.arange(off, k)
+            eq = (sp[la[:, None] + cols] == sp[ra[:, None] + cols]).all(axis=1)
+            la, ra, idx = la[eq], ra[eq], idx[eq]
+            off = k
     out = np.zeros(n - 1, dtype=bool)
-    out[alive] = True
+    out[idx] = True
     return out
 
 
