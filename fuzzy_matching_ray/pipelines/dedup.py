@@ -101,7 +101,7 @@ def dedup_transcripts(
     _lap("exact_dedup")
 
     # payload-attach mode decided up front: it gates whether shingle
-    # sets (an ~8×-corpus payload) are carried on the signature dataset
+    # sets (an ~4×-corpus payload) are carried on the signature dataset
     # at all — they are only useful to the broadcast store
     if attach == "auto":
         attach = "broadcast" if metrics["unique_docs"] <= 2_000_000 else "shuffle"

@@ -93,16 +93,20 @@ class MinHashSignatures:
         # exact-Jaccard kernel never recomputes them per actor (that
         # duplicated work is CPU-count-independent and kills scaling).
         # ``with_shingles=False`` (the big-side / shuffle-attach mode)
-        # skips this ~8 bytes/char payload: the signature dataset then
-        # stays a narrow (nid, sig) table instead of ~8× the corpus in
+        # skips this ~4 bytes/char payload: the signature dataset then
+        # stays a narrow (nid, sig) table instead of ~4× the corpus in
         # the object store, and verifiers recompute shingles from the
         # shuffle-attached text instead.
         if self.with_shingles:
             flat = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
-            # large_list: int64 offsets — int32 would overflow for
-            # batches with >2^31 cumulative shingles (long docs)
+            # shingle hashes are 32-bit values (hashing.char_shingle_hashes
+            # masks to _MAX_HASH32): carried as uint32, halving the
+            # largest payload in the object store AND the exact-Jaccard
+            # kernel's memory traffic.  large_list offsets stay int64 —
+            # int32 would overflow past 2^31 cumulative shingles.
             cols["shingles"] = pa.LargeListArray.from_arrays(
-                pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
+                pa.array(offsets, pa.int64()),
+                pa.array(flat.astype(np.uint32), pa.uint32()),
             )
         return pa.table(cols)
 

@@ -410,7 +410,7 @@ def _edges_to_conv_ids_bucketed(
 
 
 def _sorted_intersect_size(a: np.ndarray, b: np.ndarray) -> int:
-    """|a ∩ b| for sorted unique uint64 arrays via one-sided binary
+    """|a ∩ b| for sorted unique integer arrays via one-sided binary
     search — O(min log max), ~5-10× faster than ``np.intersect1d``'s
     concat-and-sort on shingle-set sizes."""
     if a.size > b.size:
@@ -489,7 +489,9 @@ class VerifierPool:
     def _shingles_fallback(self, nid: int, text: str) -> np.ndarray:
         sh = self._shingle_cache.get(nid)
         if sh is None:
-            sh = char_shingle_hashes(text or "", self.cfg.shingle_k)
+            # uint32 to match the store's shingle dtype (values are
+            # 32-bit by construction; mixed-dtype searchsorted promotes)
+            sh = char_shingle_hashes(text or "", self.cfg.shingle_k).astype(np.uint32)
             if len(self._shingle_cache) > 1 << 16:
                 self._shingle_cache.clear()
             self._shingle_cache[nid] = sh
