@@ -101,28 +101,43 @@ def quality_stats(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = 
 
 def language_id(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
     """Stopword/char-class language-ID heuristic: CJK chars → zh;
-    Cyrillic-dominant → ru; else argmax stopword hits over
-    {en, fr, es, de} with 'und' (undetermined) fallback."""
+    Cyrillic-dominant → ru; else first-wins argmax of distinct-token
+    stopword hits over {en, fr, es, de} with 'und' fallback.
+
+    Fully vectorized (pandas str kernels + one explode/isin/groupby per
+    language) — semantics identical to the per-row formulation and to
+    the DuckDB oracle (``__ray_entry__.oracle_sql()['langid_documents']``)."""
 
     def _lang(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for s in batch[text_col]:
-            s = s or ""
-            if any("一" <= c <= "鿿" for c in s[:400]):
-                out.append("zh")
-                continue
-            letters = [c for c in s[:2000] if c.isalpha()]
-            if letters and sum("а" <= c.lower() <= "я" for c in letters) / len(letters) > 0.5:
-                out.append("ru")
-                continue
-            toks = set(s.lower().split())
-            best, best_hits = "und", 0
-            for lang in ("en", "fr", "es", "de"):
-                hits = len(toks & _STOPWORDS[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            out.append(best)
-        return pd.DataFrame({id_col: batch[id_col], "lang_pred": out})
+        ser = batch[text_col].fillna("").astype(str).reset_index(drop=True)
+        zh = ser.str.slice(0, 400).str.contains("[一-鿿]", regex=True)
+        head = ser.str.slice(0, 2000)
+        n_alpha = head.str.count(r"[^\W\d_]")
+        n_cyr = head.str.count("[а-яА-Я]")
+        ru = (n_alpha > 0) & (n_cyr > 0.5 * n_alpha)
+
+        ex = ser.str.lower().str.split().explode()
+        tok = pd.DataFrame({"i": ex.index, "t": ex.to_numpy()}).drop_duplicates()
+        hits = {}
+        for lang in ("en", "fr", "es", "de"):
+            m = tok["t"].isin(_STOPWORDS[lang])
+            hits[lang] = (
+                tok.loc[m].groupby("i").size().reindex(ser.index, fill_value=0).to_numpy()
+            )
+        h_en, h_fr, h_es, h_de = hits["en"], hits["fr"], hits["es"], hits["de"]
+        pred = np.select(
+            [
+                zh.to_numpy(),
+                ru.to_numpy(),
+                (h_en == 0) & (h_fr == 0) & (h_es == 0) & (h_de == 0),
+                (h_en >= h_fr) & (h_en >= h_es) & (h_en >= h_de),
+                (h_fr >= h_es) & (h_fr >= h_de),
+                h_es >= h_de,
+            ],
+            ["zh", "ru", "und", "en", "fr", "es"],
+            default="de",
+        )
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "lang_pred": pred})
 
     return ds.map_batches(_lang, batch_format="pandas")
 

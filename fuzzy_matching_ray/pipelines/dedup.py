@@ -98,6 +98,10 @@ def dedup_transcripts(
     exact_edges = exact_dup_edges(docs, cfg.num_partitions)
     uniq_docs = drop_exact_dups(docs, cfg.num_partitions).materialize()
     metrics["unique_docs"] = uniq_docs.count()
+    try:
+        metrics["docs_bytes"] = int(uniq_docs.size_bytes())
+    except Exception:
+        pass
     _lap("exact_dedup")
 
     # payload-attach mode decided up front: it gates whether shingle
@@ -144,6 +148,10 @@ def dedup_transcripts(
     else:
         uniq_pairs = _pairs().materialize()
         metrics["candidate_pairs"] = uniq_pairs.count()
+    try:
+        metrics["pairs_bytes"] = int(uniq_pairs.size_bytes())
+    except Exception:
+        pass
     _lap("candidate_pairs")
 
     # skew accounting: exact dropped-cross-pair total carried by the
