@@ -49,6 +49,7 @@ def _ensure_oracle_fixtures() -> None:
     _transcripts_dir("/root/testdata/sf0.01")
     fixtures.ensure_person_fixtures("sf0.01")
     fixtures.ensure_translit_fixtures()
+    fixtures.ensure_flagship_golden("sf0.01", _SF_CONVS["sf0.01"])
 
 
 try:  # never let fixture generation break module import
@@ -421,6 +422,16 @@ def oracle_sql() -> dict[str, str]:
     # by _ensure_oracle_fixtures() (same seed → byte-identical whether
     # the Ray query or the SQL runs first).
     return {
+        "dedup_minhash_clusters": (
+            # brute-force ALL-PAIRS golden (fixtures.ensure_flagship_golden):
+            # serial implementation with no LSH / estimate gate / bucket
+            # budgets — the distributed candidate machinery must find
+            # every accepted pair for this to hash-match
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/flagship_golden_sf0.01/clusters.parquet')"
+        ),
+        "dedup_cluster_reps": (
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/flagship_golden_sf0.01/reps.parquet')"
+        ),
         "assemble_docs": (
             # per-conversation reassembly invariant: n_turns = turn
             # count, n_chars = sum of turn lengths + (n_turns-1)

@@ -107,6 +107,124 @@ def ensure_person_fixtures(sf: str) -> dict[str, str]:
     return paths
 
 
+def ensure_flagship_golden(sf: str, n_convs: int, seed: int = 42) -> dict[str, str]:
+    """Brute-force ALL-PAIRS golden for the flagship dedup pipeline.
+
+    A serial implementation with NO LSH, NO estimate gate and NO
+    bucket budgets: every doc pair is scored with the same acceptance
+    semantics (exact shingle Jaccard ≥ threshold, else the gray-zone
+    capped-prefix Indel rule), then union-find with min-conv_id labels.
+    The pipeline's candidate machinery must therefore find every
+    accepted pair for the clusters to hash-match — a genuinely
+    independent check of the LSH/gate/budget stack (the scalar kernels
+    are shared; the orchestration is not).  Deterministic from the
+    seed; cached under a config-fingerprint marker."""
+    import itertools
+
+    import numpy as np
+
+    from fuzzy_matching_ray.config import PipelineConfig
+    from fuzzy_matching_ray.datagen import TranscriptGenConfig, write_transcripts
+    from fuzzy_matching_ray.functions.normalize import canonicalize_text
+    from fuzzy_matching_ray.functions.similarity import indel_ratio
+    from fuzzy_matching_ray.hashing import char_shingle_hashes
+
+    cfg = PipelineConfig()
+    out_dir = os.path.join(CACHE_ROOT, f"flagship_golden_{sf}")
+    paths = {
+        "clusters": os.path.join(out_dir, "clusters.parquet"),
+        "reps": os.path.join(out_dir, "reps.parquet"),
+    }
+    fp = (
+        f"{n_convs}_{seed}_{cfg.shingle_k}_{cfg.jaccard_threshold}"
+        f"_{cfg.edit_gate_low}_{cfg.edit_accept_threshold}"
+    )
+    marker = os.path.join(out_dir, f"_done_{fp}")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    turns_dir = write_transcripts(
+        os.path.join(CACHE_ROOT, f"transcripts_{sf}"),
+        TranscriptGenConfig(n_convs=n_convs, seed=seed),
+    )
+    turns = pd.concat(
+        [pq_mod.read_table(f).to_pandas() for f in glob.glob(f"{turns_dir}/*.parquet")]
+    )
+    docs = (
+        turns.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["text"]
+        .agg(cfg.turn_separator.join)
+        .map(canonicalize_text)
+    )
+    ids = sorted(docs.index)
+    sh = {c: char_shingle_hashes(docs[c], cfg.shingle_k) for c in ids}
+    sizes = {c: sh[c].size for c in ids}
+
+    def accepted(a: str, b: str) -> bool:
+        A, B = sh[a], sh[b]
+        if A.size == 0 and B.size == 0:
+            return docs[a] == docs[b]
+        # size prefilter: jac ≥ edit_gate_low needs min/max ≥ that ratio
+        lo, hi = (A, B) if A.size <= B.size else (B, A)
+        if hi.size and lo.size < cfg.edit_gate_low * hi.size:
+            return False
+        idx = np.searchsorted(hi, lo)
+        idx[idx == hi.size] = hi.size - 1
+        inter = int(np.count_nonzero(hi[idx] == lo))
+        union = A.size + B.size - inter
+        jac = inter / union if union else 0.0
+        if jac >= cfg.jaccard_threshold:
+            return True
+        if cfg.edit_gate_low <= jac < cfg.jaccard_threshold:
+            sa, sb = docs[a][:2048], docs[b][:2048]
+            la, lb = len(sa), len(sb)
+            if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
+                return indel_ratio(sa, sb) >= cfg.edit_accept_threshold
+        return False
+
+    parent = {c: c for c in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        if accepted(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                l, h = sorted((ra, rb))
+                parent[h] = l
+    labels = [find(c) for c in ids]
+    clusters = pd.DataFrame({"conv_id": ids, "cluster_id": labels})
+    csize = clusters.groupby("cluster_id")["conv_id"].size()
+    reps = pd.DataFrame(
+        {
+            "conv_id": csize.index,
+            "cluster_id": csize.index,
+            "cluster_size": csize.to_numpy().astype("int32"),
+        }
+    ).reset_index(drop=True)
+    pq.write_table(
+        pa.Table.from_pandas(clusters, preserve_index=False).replace_schema_metadata(None),
+        paths["clusters"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(reps, preserve_index=False).replace_schema_metadata(None),
+        paths["reps"],
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
 def ensure_translit_fixtures() -> dict[str, str]:
     """Russian person records + the serial reference-path
     transliteration golden (target_lang='en', Passport standard)."""

@@ -136,3 +136,69 @@ def test_suffix_channel_positive(ray_session):
     edges = res.edges.to_pandas()
     pair = edges[(edges.src == "conv_s1") & (edges.dst == "conv_s2")]
     assert len(pair) >= 1
+
+
+def test_flagship_equals_bruteforce_all_pairs(ray_session, tiny_transcripts):
+    """Structural equivalence: the distributed LSH pipeline's clusters
+    must equal a serial BRUTE-FORCE all-pairs implementation of the
+    same acceptance semantics (no LSH, no estimate gate, no bucket
+    budgets) on the fixture corpus.  Catches candidate-generation
+    misses, verification drift, and clustering bugs in one assert.
+    Deterministic: fixed corpus + seeded signatures."""
+    import glob
+    import itertools
+
+    cfg = PipelineConfig(num_partitions=4)
+    turns_dir = tiny_transcripts["turns_dir"]
+    res = dedup_transcripts(rd.read_parquet(turns_dir), cfg)
+    got = res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+    # serial reimplementation: assemble + canonicalize + all-pairs
+    turns = pd.concat(
+        [pq.read_table(f).to_pandas() for f in glob.glob(f"{turns_dir}/*.parquet")]
+    )
+    docs = (
+        turns.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["text"]
+        .agg("\n".join)
+        .map(canonicalize_text)
+    )
+    ids = sorted(docs.index)
+    shingles = {c: char_shingle_hashes(docs[c], cfg.shingle_k) for c in ids}
+
+    def accepted(a: str, b: str) -> bool:
+        A, B = shingles[a], shingles[b]
+        if A.size == 0 and B.size == 0:
+            return docs[a] == docs[b]
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        union = A.size + B.size - inter
+        jac = inter / union if union else 0.0
+        if jac >= cfg.jaccard_threshold:
+            return True
+        # mirror the verifier's gray-zone edit kernel exactly:
+        # capped prefix + length-ratio upper bound
+        if cfg.edit_gate_low <= jac < cfg.jaccard_threshold:
+            sa, sb = docs[a][:2048], docs[b][:2048]
+            la, lb = len(sa), len(sb)
+            if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
+                return indel_ratio(sa, sb) >= cfg.edit_accept_threshold
+        return False
+
+    parent = {c: c for c in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        if accepted(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+    want = pd.DataFrame(
+        {"conv_id": ids, "cluster_id": [find(c) for c in ids]}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
