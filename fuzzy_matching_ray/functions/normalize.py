@@ -69,14 +69,25 @@ def canonicalize_column(
     """Vectorized canonicalization of a string column with
     ``pyarrow.compute`` kernels (no Python loop)."""
     if nfkc:
-        # pyarrow has no NFKC kernel; utf8_normalize exists in newer
-        # versions — fall back to a Python map only if missing.
-        try:
-            col = pc.utf8_normalize(col, form="NFKC")
-        except (AttributeError, pa.ArrowNotImplementedError):
+        # pyarrow's utf8_normalize(form="NFKC") emits DECOMPOSED
+        # sequences (e.g. ё → е + U+0308), diverging from Python's
+        # unicodedata and silently defeating the ё→е fold below.
+        # ASCII-only values are NFKC-invariant and skip the Python
+        # pass entirely; only the non-ASCII minority is normalized
+        # per-value for exact parity with ``canonicalize_text``.
+        is_ascii = pc.match_substring_regex(col, r"^[\x00-\x7F]*$")
+        if not pc.min(is_ascii).as_py():
+            vals = col.to_pylist()
+            mask = (
+                is_ascii.combine_chunks()
+                if isinstance(is_ascii, pa.ChunkedArray)
+                else is_ascii
+            ).to_numpy(zero_copy_only=False)
             col = pa.array(
-                [unicodedata.normalize("NFKC", s) if s is not None else None
-                 for s in col.to_pylist()],
+                [
+                    s if (s is None or mask[i]) else unicodedata.normalize("NFKC", s)
+                    for i, s in enumerate(vals)
+                ],
                 type=pa.string(),
             )
     if lowercase:

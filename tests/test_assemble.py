@@ -33,3 +33,25 @@ def test_doc_text_is_ordered_join(ray_session, tiny_transcripts):
     )
     assert one.doc_text == expected
     assert one.n_turns == (src.conv_id == one.conv_id).sum()
+
+
+def test_canonicalize_column_matches_scalar_path():
+    """The Arrow canonicalization must equal the scalar reference path
+    byte-for-byte — pyarrow's utf8_normalize(form='NFKC') emits
+    DECOMPOSED sequences (ё → е+U+0308), which silently defeated the
+    ё→е fold until round 2."""
+    import pyarrow as pa
+
+    from fuzzy_matching_ray.functions.normalize import (
+        canonicalize_column,
+        canonicalize_text,
+    )
+
+    cases = ["счёт Ё тест", "ASCII only", "", "  spaces\t\nhere  ",
+             "é café", "ﬁle ℕ ½", "ё pre-decomposed", None]
+    col = canonicalize_column(pa.array(cases, pa.string()))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    got = col.to_pylist()
+    want = [canonicalize_text(s) if s is not None else None for s in cases]
+    assert got == want
