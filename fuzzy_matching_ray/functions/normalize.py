@@ -95,7 +95,18 @@ def canonicalize_column(
     if fold_yo:
         col = pc.replace_substring(col, pattern="ё", replacement="е")
     if collapse_whitespace:
-        col = pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+        # RE2's \s is ASCII-only; spell out Python's unicode \s class
+        # (U+2028/NEL/\x1c-\x1f etc.) so the column path collapses
+        # exactly what the scalar path does
+        col = pc.replace_substring_regex(
+            col,
+            pattern=(
+                r"[\t\n\x0b\x0c\r\x1c-\x1f "
+                r"\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
+                r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+            ),
+            replacement=" ",
+        )
         col = pc.utf8_trim_whitespace(col)
     return col
 

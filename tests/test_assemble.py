@@ -48,7 +48,10 @@ def test_canonicalize_column_matches_scalar_path():
     )
 
     cases = ["счёт Ё тест", "ASCII only", "", "  spaces\t\nhere  ",
-             "é café", "ﬁle ℕ ½", "ё pre-decomposed", None]
+             "é café", "ﬁle ℕ ½", "ё pre-decomposed", None,
+             # Python whitespace class is unicode, RE2 backslash-s is ASCII
+             "nbsp\u00a0x", "sep\u2028x", "nel\u0085x", "fs\u001cx",
+             "em\u2003x", "ideo\u3000x"]
     col = canonicalize_column(pa.array(cases, pa.string()))
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
