@@ -66,40 +66,32 @@ def canonicalize_column(
     collapse_whitespace: bool = True,
     fold_yo: bool = True,
 ) -> pa.Array | pa.ChunkedArray:
-    """Vectorized canonicalization of a string column with
-    ``pyarrow.compute`` kernels (no Python loop)."""
-    if nfkc:
-        # pyarrow's utf8_normalize(form="NFKC") emits DECOMPOSED
-        # sequences (e.g. ё → е + U+0308), diverging from Python's
-        # unicodedata and silently defeating the ё→е fold below.
-        # ASCII-only values are NFKC-invariant and skip the Python
-        # pass entirely; only the non-ASCII minority is normalized
-        # per-value for exact parity with ``canonicalize_text``.
-        is_ascii = pc.match_substring_regex(col, r"^[\x00-\x7F]*$")
-        if not pc.min(is_ascii).as_py():
-            vals = col.to_pylist()
-            mask = (
-                is_ascii.combine_chunks()
-                if isinstance(is_ascii, pa.ChunkedArray)
-                else is_ascii
-            ).to_numpy(zero_copy_only=False)
-            col = pa.array(
-                [
-                    s if (s is None or mask[i]) else unicodedata.normalize("NFKC", s)
-                    for i, s in enumerate(vals)
-                ],
-                type=pa.string(),
-            )
+    """Canonicalize a string column, byte-identical to
+    ``canonicalize_text`` per value.
+
+    ASCII values (the bulk of real corpora) take the fully vectorized
+    ``pyarrow.compute`` path — exact by construction for ASCII (NFKC is
+    the identity, ``utf8_lower`` matches ``str.lower``, and the
+    collapse class below includes Python's ASCII ``\\s`` extras
+    ``\\x1c-\\x1f``).  Non-ASCII values route through the scalar kernel
+    itself: Arrow's unicode kernels diverge from Python in several
+    corners (``utf8_normalize('NFKC')`` emits decomposed sequences,
+    ``utf8_lower`` drops İ's combining dot and ignores final-sigma
+    context, RE2's ``\\s`` is ASCII-only), and a near-dup engine cannot
+    afford two canonical forms of the same text."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return col
+
+    out = col
     if lowercase:
-        col = pc.utf8_lower(col)
+        out = pc.utf8_lower(out)
     if fold_yo:
-        col = pc.replace_substring(col, pattern="ё", replacement="е")
+        out = pc.replace_substring(out, pattern="ё", replacement="е")
     if collapse_whitespace:
-        # RE2's \s is ASCII-only; spell out Python's unicode \s class
-        # (U+2028/NEL/\x1c-\x1f etc.) so the column path collapses
-        # exactly what the scalar path does
-        col = pc.replace_substring_regex(
-            col,
+        out = pc.replace_substring_regex(
+            out,
             pattern=(
                 r"[\t\n\x0b\x0c\r\x1c-\x1f "
                 r"\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
@@ -107,8 +99,27 @@ def canonicalize_column(
             ),
             replacement=" ",
         )
-        col = pc.utf8_trim_whitespace(col)
-    return col
+        out = pc.utf8_trim_whitespace(out)
+
+    is_ascii = pc.match_substring_regex(col, r"^[\x00-\x7F]*$")
+    if pc.min(is_ascii).as_py():
+        return out
+    vals = col.to_pylist()
+    fast = out.to_pylist()
+    mask = is_ascii.to_numpy(zero_copy_only=False)
+    flags = dict(
+        lowercase=lowercase,
+        nfkc=nfkc,
+        collapse_whitespace=collapse_whitespace,
+        fold_yo=fold_yo,
+    )
+    return pa.array(
+        [
+            fast[i] if (s is None or mask[i]) else canonicalize_text(s, **flags)
+            for i, s in enumerate(vals)
+        ],
+        type=pa.string(),
+    )
 
 
 def strip_column(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:

@@ -51,7 +51,9 @@ def test_canonicalize_column_matches_scalar_path():
              "é café", "ﬁle ℕ ½", "ё pre-decomposed", None,
              # Python whitespace class is unicode, RE2 backslash-s is ASCII
              "nbsp\u00a0x", "sep\u2028x", "nel\u0085x", "fs\u001cx",
-             "em\u2003x", "ideo\u3000x"]
+             "em\u2003x", "ideo\u3000x",
+             # Arrow utf8_lower corners: Turkish dotted I, final sigma
+             "\u0130stanbul", "\u03a3\u039f\u03a6\u039f\u03a3"]
     col = canonicalize_column(pa.array(cases, pa.string()))
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
