@@ -143,7 +143,9 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         workdir=args.workdir,
     )
     channels = tuple(args.channels.split(","))
-    res = dedup_transcripts(rd.read_parquet(args.input), cfg, channels=channels)
+    res = dedup_transcripts(
+        rd.read_parquet(args.input), cfg, channels=channels, attach=args.attach
+    )
     res.clusters.write_parquet(args.output + "/clusters")
     res.representatives.write_parquet(args.output + "/representatives")
     res.edges.write_parquet(args.output + "/edges")
@@ -197,7 +199,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--input", required=True, help="transcripts Parquet dir")
     d.add_argument("--output", required=True)
     d.add_argument("--workdir", default=None, help="checkpoint dir (resume)")
-    d.add_argument("--channels", default="minhash")
+    d.add_argument("--channels", default="minhash",
+                   help="comma list from the channel registry (minhash,simhash,substring,…)")
+    d.add_argument("--attach", default="auto", choices=["auto", "broadcast", "shuffle"],
+                   help="verify payload path (shuffle = beyond-broadcast scale)")
     d.add_argument("--num-partitions", type=int, default=16)
     d.set_defaults(fn=cmd_dedup)
     return p
