@@ -310,6 +310,13 @@ class PersonGenConfig:
     suffix_probability: float = 0.05
     email_noise_probability: float = 0.2
     suffixes: tuple[str, ...] = ("-младший", "-старший", " Jr", " Sr")
+    # reference-generator fidelity knobs (off by default so existing
+    # fixtures stay byte-identical; reference data_generator.py:172-232,
+    # 322-373): full surname replacement regenerates the email local
+    # part wholesale; phone distortion duplicates a random digit
+    change_name_probability: float = 0.0
+    include_phone: bool = False
+    double_number_probability: float = 0.3
 
 
 def generate_person_records(cfg: PersonGenConfig) -> tuple[list[dict], list[dict]]:
@@ -338,25 +345,42 @@ def generate_person_records(cfg: PersonGenConfig) -> tuple[list[dict], list[dict
             "middle_name": middle,
             "email": email,
         }
+        if cfg.include_phone:
+            digits = rng.integers(0, 10, size=10)
+            prefix = "+7" if lang == "ru" else "+1"
+            rec["phone"] = prefix + "".join(str(d) for d in digits)
         originals.append(rec)
 
         var = dict(rec)
         var["id"] = rec["id"] + "_v"
-        for fld in ("last_name", "first_name", "middle_name"):
-            s = var[fld]
-            if rng.random() < cfg.double_char_probability:
-                s = _double_char(rng, s)
-            if rng.random() < cfg.change_char_probability:
-                s = _change_char(rng, s)
-            if rng.random() < cfg.swap_char_probability:
-                s = _swap_chars(rng, s)
-            var[fld] = s
-        if rng.random() < cfg.suffix_probability:
-            var["last_name"] += cfg.suffixes[int(rng.integers(0, len(cfg.suffixes)))]
-        if rng.random() < cfg.email_noise_probability:
-            local, _, domain = var["email"].partition("@")
-            local = _change_char(rng, local)
-            var["email"] = local + "@" + domain
+        # full-identity replacement takes priority over char noise
+        # (reference data_generator.py:322-373): the surname is swapped
+        # wholesale and the email local part regenerated to match
+        if cfg.change_name_probability and rng.random() < cfg.change_name_probability:
+            pool = _RU_SURNAMES if lang == "ru" else _EN_SURNAMES
+            var["last_name"] = pool[int(rng.integers(0, len(pool)))]
+            domain = var["email"].partition("@")[2]
+            var["email"] = f"{var['first_name'].lower()}.{var['last_name'].lower()}{i}@{domain}"
+        else:
+            for fld in ("last_name", "first_name", "middle_name"):
+                s = var[fld]
+                if rng.random() < cfg.double_char_probability:
+                    s = _double_char(rng, s)
+                if rng.random() < cfg.change_char_probability:
+                    s = _change_char(rng, s)
+                if rng.random() < cfg.swap_char_probability:
+                    s = _swap_chars(rng, s)
+                var[fld] = s
+            if rng.random() < cfg.suffix_probability:
+                var["last_name"] += cfg.suffixes[int(rng.integers(0, len(cfg.suffixes)))]
+            if rng.random() < cfg.email_noise_probability:
+                local, _, domain = var["email"].partition("@")
+                local = _change_char(rng, local)
+                var["email"] = local + "@" + domain
+        if cfg.include_phone and rng.random() < cfg.double_number_probability:
+            p = var["phone"]
+            j = int(rng.integers(2, len(p)))  # never the +country prefix
+            var["phone"] = p[: j + 1] + p[j] + p[j + 1 :]
         variants.append(var)
     return originals, variants
 

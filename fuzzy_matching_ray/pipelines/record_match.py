@@ -283,6 +283,15 @@ def match_records(
     kernel per block.  With ``sort_before_match=True`` the result is
     identical to ``ReferenceMatcher`` on the same inputs.
 
+    **Parallelism ceiling (by design):** the reference's greedy 1:1
+    matcher is order-dependent *within* a block, so a block cannot be
+    split without changing its output — the distributed ceiling is the
+    number of first-char blocks (≤ alphabet size) and a hot block costs
+    O(|b1|·|b2|).  This is reference-semantics fidelity, not an
+    accident; for large-scale similarity matching use the LSH dedup
+    pipeline (``pipelines.dedup``), whose blocking is content-hashed
+    and skew-salted.
+
     Returns a matches Dataset with columns ``similarity``, ``o_<field>``
     and ``v_<field>`` for every matched pair.
     """

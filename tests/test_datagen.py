@@ -77,3 +77,29 @@ def test_person_records_pairing():
     assert len(orig) == len(var) == 25
     for o, v in zip(orig, var):
         assert v["id"] == o["id"] + "_v"
+
+
+def test_person_generator_reference_fidelity_knobs():
+    """Reference data_generator.py:172-232,322-373 parity: phone field
+    with digit doubling, full-surname replacement that regenerates the
+    email local part; default knobs must not consume extra RNG draws
+    (fixtures stay byte-identical)."""
+    from fuzzy_matching_ray.datagen import PersonGenConfig, generate_person_records
+
+    base_o, base_v = generate_person_records(PersonGenConfig(n_records=40, language="mixed"))
+    again_o, again_v = generate_person_records(PersonGenConfig(n_records=40, language="mixed"))
+    assert base_o == again_o and base_v == again_v
+    assert "phone" not in base_o[0]
+
+    o, v = generate_person_records(
+        PersonGenConfig(n_records=40, language="mixed",
+                        include_phone=True, change_name_probability=0.5)
+    )
+    assert all(r["phone"].startswith(("+7", "+1")) and len(r["phone"]) == 12 for r in o)
+    # doubled digits lengthen the phone by exactly one, never the prefix
+    assert any(len(b["phone"]) == 13 for b in v)
+    assert all(b["phone"][:2] == a["phone"][:2] for a, b in zip(o, v))
+    # full replacement regenerates the email local part to match
+    replaced = [(a, b) for a, b in zip(o, v) if a["last_name"] != b["last_name"]
+                and len(b["last_name"]) == len(b["last_name"].strip())]
+    assert any(b["email"].split("@")[0] != a["email"].split("@")[0] for a, b in replaced)
