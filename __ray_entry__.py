@@ -354,6 +354,40 @@ def _q_suppliers_with_parts(sf_dir: str):
     )
 
 
+def _q_events_asof_orders(sf_dir: str):
+    from fuzzy_matching_ray.extras.relational import asof_join
+
+    events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    return asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_val="o_orderkey",
+        out_val="last_orderkey",
+        left_cols=["event_id", "user_id"],
+    )
+
+
+def _q_events_rolling_window(sf_dir: str):
+    from fuzzy_matching_ray.extras.relational import rolling_window_stats
+
+    return rolling_window_stats(
+        _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts", "value"])
+    )
+
+
+def _q_sample_documents(sf_dir: str):
+    from fuzzy_matching_ray.extras.relational import hash_sample
+
+    return hash_sample(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def _q_events_hourly(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -413,6 +447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "suppliers_with_parts": _q_suppliers_with_parts,
         "events_hourly": _q_events_hourly,
+        # custom relational operators (as-of join / window / sampling)
+        "events_asof_orders": _q_events_asof_orders,
+        "events_rolling_window": _q_events_rolling_window,
+        "sample_documents": _q_sample_documents,
     }
 
 
@@ -572,5 +610,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+        ),
+        "events_asof_orders": (
+            # backward as-of join, ties on orderdate broken by max key —
+            # the same total order merge_asof's last-row pick uses
+            "SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey "
+            "FROM events e LEFT JOIN LATERAL ("
+            "SELECT o_orderkey FROM orders "
+            "WHERE o_custkey = e.user_id AND o_orderdate <= e.ts "
+            "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE"
+        ),
+        "events_rolling_window": (
+            "SELECT event_id, user_id, "
+            "count(*) OVER w AS n_window, max(value) OVER w AS max_value "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
+        "sample_documents": (
+            "SELECT doc_id, text FROM documents "
+            "WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '33'"
         ),
     }

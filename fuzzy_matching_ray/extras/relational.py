@@ -1,0 +1,175 @@
+"""Relational custom operators Ray Data lacks natively (build-brief
+examples: as-of join, windowed aggregate, deterministic sampling) —
+each expressed as a bucketed single-shuffle transform with an exact
+ANSI-SQL oracle (``__ray_entry__.oracle_sql``).
+
+Partitioning assumption (documented per the brief): both the as-of
+join and the rolling window co-locate rows by their key's hash bucket
+— one shuffle, vectorized pandas kernels per bucket (``merge_asof`` /
+``rolling``), no per-group Python calls."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+    out_val: str,
+    left_cols: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Backward as-of join: for every left row, the ``right_val`` of
+    the latest right row with ``right_ts <= left_ts`` and matching key
+    (ties on ``right_ts`` broken by max ``right_val`` — the same total
+    order an ``ORDER BY ts DESC, val DESC LIMIT 1`` lateral uses).
+
+    Left and right rows are co-partitioned by ``hash(key) % P`` and
+    merged per bucket with ``pd.merge_asof`` — one shuffle, no
+    broadcast of either side (both may be large)."""
+
+    from fuzzy_matching_ray.stages.verify import _pad_column
+
+    left_schema = left.schema()
+    left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+
+    def _left_rows(b: pa.Table) -> pa.Table:
+        cols = {"key": b[left_key].cast(pa.int64()), "_side": pa.array([0] * b.num_rows, pa.int8())}
+        for c in left_cols:
+            cols["l_" + c] = b[c]
+        cols["_ts"] = b[left_ts]
+        # zero-filled, not null: null int64 columns round-trip through
+        # pandas as float64 (see stages/verify._pad_column)
+        cols["_val"] = _pad_column(pa.int64(), b.num_rows)
+        return pa.table(cols)
+
+    def _right_rows(b: pa.Table, names=tuple(left_cols)) -> pa.Table:
+        cols = {"key": b[right_key].cast(pa.int64()), "_side": pa.array([1] * b.num_rows, pa.int8())}
+        for c in names:
+            cols["l_" + c] = _pad_column(left_types[c], b.num_rows)
+        cols["_ts"] = b[right_ts]
+        cols["_val"] = b[right_val].cast(pa.int64())
+        return pa.table(cols)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        lv = df[df["_side"] == 0]
+        rv = df[df["_side"] == 1]
+        out_cols = ["l_" + c for c in left_cols]
+        if lv.empty:
+            out = lv[out_cols].copy()
+            out.columns = left_cols
+            out[out_val] = pd.Series(dtype="float64")
+            return out
+        lv = lv.sort_values("_ts", kind="mergesort")
+        if rv.empty:
+            out = lv[out_cols].copy()
+            out.columns = left_cols
+            out[out_val] = np.nan
+            return out
+        rv = rv.sort_values(["_ts", "_val"], kind="mergesort")
+        merged = pd.merge_asof(
+            lv[["key", "_ts"] + out_cols],
+            rv[["key", "_ts", "_val"]],
+            on="_ts",
+            by="key",
+            direction="backward",
+        )
+        out = merged[out_cols].copy()
+        out.columns = left_cols
+        out[out_val] = merged["_val"].astype("float64")
+        return out
+
+    rows = left.map_batches(_left_rows, batch_format="pyarrow").union(
+        right.map_batches(_right_rows, batch_format="pyarrow")
+    )
+    return bucketed_group_apply(rows, "key", _merge, num_partitions)
+
+
+def rolling_window_stats(
+    events: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    val: str = "value",
+    id_col: str = "event_id",
+    window: int = 4,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-key rolling-window aggregate over time order:
+    ``(id, key, n_window, max_value)`` where the window is the current
+    row plus the ``window-1`` preceding rows (``ROWS BETWEEN n-1
+    PRECEDING AND CURRENT ROW``).  Count and max only — both are exact
+    under floating point, so the SQL oracle hashes identically
+    (a rolling SUM drifts between pandas' sliding accumulator and the
+    oracle's per-window sums)."""
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b[id_col].cast(pa.int64()),
+                "key": b[key].cast(pa.int64()),
+                "ts": b[ts],
+                "val": b[val].cast(pa.float64()),
+            }
+        )
+
+    slim = events.map_batches(_prep, batch_format="pyarrow")
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "ts"], kind="mergesort")
+        g = df.groupby("key", sort=False)
+        n_window = (g.cumcount().clip(upper=window - 1) + 1).astype("int64")
+        max_val = g["val"].rolling(window, min_periods=1).max().to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: df["id"].to_numpy(),
+                key: df["key"].to_numpy(),
+                "n_window": n_window.to_numpy(),
+                "max_value": max_val,
+            }
+        )
+
+    return bucketed_group_apply(slim, "key", _roll, num_partitions)
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "text"),
+    hex_threshold: str = "33",
+) -> ray.data.Dataset:
+    """Deterministic content-addressed sample: keep rows whose
+    ``md5(str(id))`` hex digest starts below ``hex_threshold``
+    (two hex chars → rate ≈ int(threshold,16)/256; '33' ≈ 19.9%).
+    Unlike seeded ``random_sample``, membership is a pure function of
+    the id — stable across runs, partitionings and engines, so the
+    same expression reproduces the sample in SQL (or any other
+    system) exactly."""
+
+    def _filter(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        keep = np.fromiter(
+            (
+                hashlib.md5(str(i).encode()).hexdigest()[:2] < hex_threshold
+                for i in ids
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return pa.table({c: b[c].filter(pa.array(keep)) for c in cols})
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -1,0 +1,100 @@
+"""Custom relational operators: as-of join tie-breaks, rolling-window
+edges, deterministic sampling (extras/relational.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from fuzzy_matching_ray.extras.relational import (
+    asof_join,
+    hash_sample,
+    rolling_window_stats,
+)
+
+
+def test_asof_join_backward_with_ties(ray_session):
+    t = pd.Timestamp("2024-01-01")
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+                "ts": pa.array([t, t + pd.Timedelta(days=2), t + pd.Timedelta(days=9),
+                                t + pd.Timedelta(days=1)]),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([7, 7, 7, 8], pa.int64()),
+                # two orders on the SAME date → tie broken by max key
+                "o_orderdate": pa.array(
+                    [t + pd.Timedelta(days=1), t + pd.Timedelta(days=1),
+                     t + pd.Timedelta(days=5), t]
+                ),
+                "o_orderkey": pa.array([100, 200, 150, 999], pa.int64()),
+            }
+        )
+    )
+    out = (
+        asof_join(
+            left, right,
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            right_val="o_orderkey", out_val="last_orderkey",
+            left_cols=["event_id", "user_id"], num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out.event_id, out.last_orderkey))
+    assert np.isnan(got[1])          # no order before the event
+    assert got[2] == 200             # date tie → max orderkey wins
+    assert got[3] == 150             # latest date wins over earlier tie
+    assert np.isnan(got[4])          # user 9 has no orders at all
+
+
+def test_rolling_window_count_and_max(ray_session):
+    t = pd.Timestamp("2024-01-01")
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(6)), pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([t + pd.Timedelta(minutes=i) for i in range(6)]),
+                "value": pa.array([5.0, 1.0, 9.0, 2.0, 3.0, 7.0], pa.float64()),
+            }
+        )
+    )
+    out = (
+        rolling_window_stats(ev, window=3, num_partitions=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_window.tolist() == [1, 2, 3, 3, 3, 1]
+    assert out.max_value.tolist() == [5.0, 5.0, 9.0, 9.0, 9.0, 7.0]
+
+
+def test_hash_sample_deterministic(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(1000)), pa.int64()),
+                "text": pa.array([f"doc {i}" for i in range(1000)], pa.string()),
+            }
+        )
+    )
+    a = hash_sample(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = hash_sample(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # pure function of the id
+    # rate ≈ 0x33/256 ≈ 19.9%
+    assert 0.14 < len(a) / 1000 < 0.26
+    import hashlib
+
+    assert all(hashlib.md5(str(i).encode()).hexdigest()[:2] < "33" for i in a.doc_id)
