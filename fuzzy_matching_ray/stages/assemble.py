@@ -8,9 +8,9 @@ pipeline (SURVEY.md §3.4).
 Scale design: instead of ``groupby("conv_id").map_groups`` (one Python
 call per conversation — millions of tiny groups), we bucket by a hash
 of ``conv_id`` into ``num_partitions`` coarse partitions and assemble a
-whole bucket at a time with vectorized pandas groupby inside
-``map_groups``.  One shuffle either way, but the per-group Python
-overhead is amortized over ~|docs|/P conversations.
+whole bucket at a time with Arrow's C++ hash-group ``list``
+aggregation plus a vectorized ``binary_join``.  One shuffle either
+way, but there are ZERO Python calls per conversation.
 
 The original per-turn payload (``turn_idx``/``role``/``text``/``tool``)
 is carried as list columns so the per-turn text-equality invariant can
@@ -19,12 +19,8 @@ re-explode documents exactly (north_rule; see ``explode_docs``).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
-
-from fuzzy_matching_ray.hashing import hash64_str
 
 DOC_SCHEMA = pa.schema(
     [
@@ -43,32 +39,48 @@ DOC_SCHEMA = pa.schema(
 
 def add_partition_column(batch: pa.Table, num_partitions: int, col: str = "conv_id") -> pa.Table:
     """Stable hash-bucket column used for coarse partitioning (the ONE
-    partitioning key reused across stages)."""
-    ids = batch[col].to_pylist()
-    parts = np.fromiter(
-        (hash64_str(i) % num_partitions for i in ids), dtype=np.int32, count=len(ids)
-    )
+    partitioning key reused across stages) — vectorized SipHash over
+    the id column (a per-row Python hash loop was the turn table's
+    hottest line at 10⁶+ turns)."""
+    from fuzzy_matching_ray.stages.grouped import _bucket_of_column
+
+    parts = _bucket_of_column(batch[col], num_partitions)
     return batch.append_column("part", pa.array(parts, pa.int32()))
 
 
-def _assemble_bucket(df: pd.DataFrame, separator: str) -> pd.DataFrame:
-    """Assemble every conversation in one hash bucket (vectorized)."""
-    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    g = df.groupby("conv_id", sort=False)
-    out = pd.DataFrame(
+def _assemble_bucket(tbl: pa.Table, separator: str) -> pa.Table:
+    """Assemble every conversation in one hash bucket — fully
+    vectorized Arrow: sort, C++ hash-group ``list`` aggregation
+    (accumulation preserves the sorted scan order), and a
+    ``binary_join`` kernel for the turn concatenation.  Zero Python
+    calls per conversation."""
+    import pyarrow.compute as pc
+
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    g = tbl.group_by("conv_id", use_threads=False).aggregate(
+        [
+            ("turn_idx", "list"),
+            ("role", "list"),
+            ("text", "list"),
+            ("tool", "list"),
+            ("ts", "min"),
+            ("ts", "max"),
+            ("turn_idx", "count"),
+        ]
+    )
+    return pa.table(
         {
-            "n_turns": g.size().astype("int32"),
-            "doc_text": g["text"].agg(lambda s: separator.join(s)),
-            "turn_idxs": g["turn_idx"].agg(list),
-            "roles": g["role"].agg(list),
-            "turn_texts": g["text"].agg(list),
-            "tools": g["tool"].agg(list),
-            "min_ts": g["ts"].min(),
-            "max_ts": g["ts"].max(),
+            "conv_id": g["conv_id"],
+            "n_turns": g["turn_idx_count"].cast(pa.int32()),
+            "doc_text": pc.binary_join(g["text_list"], separator),
+            "turn_idxs": g["turn_idx_list"],
+            "roles": g["role_list"],
+            "turn_texts": g["text_list"],
+            "tools": g["tool_list"],
+            "min_ts": g["ts_min"],
+            "max_ts": g["ts_max"],
         }
     )
-    out = out.reset_index()
-    return out
 
 
 def assemble_documents(
@@ -85,8 +97,8 @@ def assemble_documents(
         batch_format="pyarrow",
     )
     docs = bucketed.groupby("part").map_groups(
-        lambda df: _assemble_bucket(df.drop(columns=["part"]), separator),
-        batch_format="pandas",
+        lambda t: _assemble_bucket(t.drop_columns(["part"]), separator),
+        batch_format="pyarrow",
     )
     return docs
 
