@@ -95,11 +95,24 @@ def entry() -> Any:
 # query implementations
 
 
+def _ensure_golden(sf_dir: str) -> None:
+    """Idempotent (marker-cached) brute-force golden for the flagship
+    oracles — belt-and-braces in case the import-time ensure was
+    skipped."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf == "sf0.01":  # the driver's oracle-compare scale; brute
+        # force at larger SFs would be quadratic for nothing
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_flagship_golden(sf, _SF_CONVS[sf])
+
+
 def _q_dedup_minhash_clusters(sf_dir: str):
     import ray.data as rd
 
     from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
 
+    _ensure_golden(sf_dir)
     turns = rd.read_parquet(_transcripts_dir(sf_dir))
     return dedup_transcripts(turns, _pipeline_cfg()).clusters
 
@@ -109,6 +122,7 @@ def _q_dedup_cluster_reps(sf_dir: str):
 
     from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
 
+    _ensure_golden(sf_dir)
     turns = rd.read_parquet(_transcripts_dir(sf_dir))
     return dedup_transcripts(turns, _pipeline_cfg()).representatives
 
