@@ -468,6 +468,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Queries whose oracle reads a fixture/golden file pinned to the
+# driver's compare scale — their SQL is only meaningful at sf0.01
+# (tools/check_oracles.py skips them at other scales).
+FIXTURE_ORACLE_SF = "sf0.01"
+FIXTURE_ORACLE_QUERIES = frozenset(
+    {
+        "dedup_minhash_clusters",
+        "dedup_cluster_reps",
+        "assemble_docs",
+        "record_match_persons",
+        "transliterate_persons",
+    }
+)
+
+
 def oracle_sql() -> dict[str, str]:
     # The driver compares at sf=0.01 only, so fixture-backed oracles
     # reference the deterministic sf0.01 files written at import time

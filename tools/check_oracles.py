@@ -73,6 +73,11 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    # fixture-backed oracles are pinned to the driver's compare scale
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf != getattr(e, "FIXTURE_ORACLE_SF", "sf0.01"):
+        for name in getattr(e, "FIXTURE_ORACLE_QUERIES", ()):
+            oracles.pop(name, None)
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
