@@ -24,7 +24,7 @@ Two generators, both seeded with ``numpy.random.Generator(PCG64(seed))``
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa

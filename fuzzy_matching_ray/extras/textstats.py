@@ -155,7 +155,7 @@ class FingerprintStage:
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from fuzzy_matching_ray.hashing import char_shingle_hashes, codepoints, _splitmix64, _POLY_BASE
+        from fuzzy_matching_ray.hashing import codepoints, _splitmix64, _POLY_BASE
 
         ids = batch["doc_id"] if "doc_id" in batch.column_names else batch[batch.column_names[0]]
         texts = batch["text"].to_pylist()

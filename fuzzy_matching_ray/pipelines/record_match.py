@@ -32,7 +32,7 @@ from typing import Any
 import pandas as pd
 import ray.data
 
-from fuzzy_matching_ray.config import FuzzyAlgorithm, MatchConfig
+from fuzzy_matching_ray.config import MatchConfig
 from fuzzy_matching_ray.functions import translit
 from fuzzy_matching_ray.functions.normalize import normalize_name
 from fuzzy_matching_ray.functions.similarity import similarity, token_sort_ratio

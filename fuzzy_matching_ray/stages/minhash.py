@@ -30,7 +30,6 @@ import ray.data
 
 from fuzzy_matching_ray.config import PipelineConfig
 from fuzzy_matching_ray.hashing import (
-    band_hashes,
     char_shingle_hashes,
     minhash_coeffs,
     minhash_signature,
