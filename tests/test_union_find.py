@@ -45,3 +45,19 @@ def test_representatives(ray_session):
     assert reps.loc["a", "conv_id"] == "a"
     assert reps.loc["a", "cluster_size"] == 3
     assert reps.loc["z", "cluster_size"] == 1
+
+
+def test_iterative_path_matches_single_task(ray_session, monkeypatch):
+    """Force the iterative min-label-propagation path (the huge-edge-set
+    mode the sandbox never reaches naturally) and assert it produces
+    exactly the single-task union-find's labels — including on a chain,
+    which needs multiple propagation rounds."""
+    import fuzzy_matching_ray.stages.union_find as uf
+
+    nodes = [f"n{i}" for i in range(10)] + ["s0", "s1", "s2", "iso"]
+    edges = [(f"n{i}", f"n{i+1}") for i in range(9)] + [("s0", "s1"), ("s0", "s2")]
+    small = _run(nodes, edges)
+    monkeypatch.setattr(uf, "_SMALL_GRAPH_EDGES", 0)
+    iterative = _run(nodes, edges)
+    assert iterative == small
+    assert all(iterative[f"n{i}"] == "n0" for i in range(10))
