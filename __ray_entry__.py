@@ -52,10 +52,18 @@ def _ensure_oracle_fixtures() -> None:
     fixtures.ensure_flagship_golden("sf0.01", _SF_CONVS["sf0.01"])
 
 
-try:  # never let fixture generation break module import
+try:  # never let fixture generation break module import...
     _ensure_oracle_fixtures()
-except Exception:  # pragma: no cover
-    pass
+except Exception as _fixture_exc:  # pragma: no cover
+    # ...but say WHY it failed: a silent pass here surfaces later as an
+    # opaque oracle read error on stale/missing fixture files
+    import traceback
+
+    print(
+        "[__ray_entry__] fixture pre-generation failed "
+        f"(oracles may read stale files): {_fixture_exc!r}"
+    )
+    traceback.print_exc()
 
 
 def _read(sf_dir: str, table: str):
@@ -653,7 +661,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "count(*) OVER w AS n_window, max(value) OVER w AS max_value "
             "FROM events "
-            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
         ),
         "sample_documents": (

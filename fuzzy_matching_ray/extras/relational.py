@@ -72,13 +72,13 @@ def asof_join(
         if lv.empty:
             out = lv[out_cols].copy()
             out.columns = left_cols
-            out[out_val] = pd.Series(dtype="float64")
+            out[out_val] = pd.Series(dtype="Int64")
             return out
         lv = lv.sort_values("_ts", kind="mergesort")
         if rv.empty:
             out = lv[out_cols].copy()
             out.columns = left_cols
-            out[out_val] = np.nan
+            out[out_val] = pd.Series(pd.NA, index=out.index, dtype="Int64")
             return out
         rv = rv.sort_values(["_ts", "_val"], kind="mergesort")
         merged = pd.merge_asof(
@@ -90,7 +90,11 @@ def asof_join(
         )
         out = merged[out_cols].copy()
         out.columns = left_cols
-        out[out_val] = merged["_val"].astype("float64")
+        # nullable Int64, not float64: the oracle's LATERAL join yields
+        # int64-with-NULL and the driver's value hash sees 123.0 != 123
+        # (pandas Int64 -> Arrow int64+nulls via from_pandas in
+        # bucketed_group_apply)
+        out[out_val] = merged["_val"].astype("Int64")
         return out
 
     rows = left.map_batches(_left_rows, batch_format="pyarrow").union(
@@ -130,7 +134,11 @@ def rolling_window_stats(
     slim = events.map_batches(_prep, batch_format="pyarrow")
 
     def _roll(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["key", "ts"], kind="mergesort")
+        # id as final tiebreak: a bare [key, ts] mergesort is stable on
+        # post-shuffle arrival order, which is nondeterministic across
+        # runs when timestamps tie within a key (oracle mirrors with
+        # ORDER BY ts, event_id)
+        df = df.sort_values(["key", "ts", "id"], kind="mergesort")
         g = df.groupby("key", sort=False)
         n_window = (g.cumcount().clip(upper=window - 1) + 1).astype("int64")
         max_val = g["val"].rolling(window, min_periods=1).max().to_numpy()
