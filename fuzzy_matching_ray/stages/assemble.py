@@ -48,6 +48,27 @@ def add_partition_column(batch: pa.Table, num_partitions: int, col: str = "conv_
     return batch.append_column("part", pa.array(parts, pa.int32()))
 
 
+def _assert_lists_sorted(col: pa.ChunkedArray | pa.ListArray) -> None:
+    """Assembly depends on Arrow's hash-group ``list`` aggregation
+    accumulating rows in sorted scan order — behavior Arrow does not
+    document.  Guard the invariant cheaply (one vectorized diff per
+    bucket) so a pyarrow upgrade that scrambles within-group order
+    fails loudly instead of silently reordering turns."""
+    import numpy as np
+
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.asarray(la.offsets)
+    flat = np.asarray(la.values)[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    if flat.size > 1:
+        bad = np.flatnonzero(np.diff(flat) <= 0) + 1
+        if bad.size and not np.isin(bad, offs[1:-1]).all():
+            raise AssertionError(
+                "turn_idx list aggregation lost within-group sort order "
+                "(pyarrow group_by 'list' no longer preserves scan order)"
+            )
+
+
 def _assemble_bucket(tbl: pa.Table, separator: str) -> pa.Table:
     """Assemble every conversation in one hash bucket — fully
     vectorized Arrow: sort, C++ hash-group ``list`` aggregation
@@ -68,6 +89,7 @@ def _assemble_bucket(tbl: pa.Table, separator: str) -> pa.Table:
             ("turn_idx", "count"),
         ]
     )
+    _assert_lists_sorted(g["turn_idx_list"])
     return pa.table(
         {
             "conv_id": g["conv_id"],

@@ -48,6 +48,11 @@ def _pack_text_block(batch):
     from fuzzy_matching_ray.hashing import nid_of
 
     batch = _as_arrow(batch)
+    if batch.num_rows == 0:
+        # empty shuffle buckets emit zero-row (sometimes zero-COLUMN)
+        # blocks — pack them to empty rather than KeyError on a column
+        # the degenerate schema lacks
+        return np.empty(0, np.uint64), b"", np.empty(0, np.int64)
     nids = nid_of(batch["conv_id"].to_pylist())
     col = (
         batch["text_canon"].combine_chunks()
@@ -67,6 +72,9 @@ def _pack_sig_block(batch, num_perm: int, has_shingles: bool):
     from fuzzy_matching_ray.stages.minhash import sig_matrix
 
     batch = _as_arrow(batch)
+    if batch.num_rows == 0:
+        empty_sh = (np.empty(0, np.uint64), np.empty(0, np.int64)) if has_shingles else (None, None)
+        return np.empty(0, np.uint64), np.empty((0, num_perm), np.uint64), *empty_sh
     nid_col = batch["nid"]
     if isinstance(nid_col, pa.ChunkedArray):
         nid_col = nid_col.combine_chunks()
@@ -83,21 +91,37 @@ def _pack_sig_block(batch, num_perm: int, has_shingles: bool):
     return nids, mat, sh_flat, sh_lens
 
 
-def _gather_packed(ds: ray.data.Dataset, pack_fn, args: tuple):
+def _gather_packed(ds: ray.data.Dataset, pack_fn, args: tuple, fallbacks: dict | None = None):
     """Run ``pack_fn`` over the dataset's blocks as parallel Ray tasks
     and yield the packed tuples in block order (numpy results come back
-    zero-copy from the object store).  Falls back to serial driver-side
-    iteration if block refs are unavailable."""
+    zero-copy from the object store).
+
+    Failure handling is per-ref and LOUD: a block whose remote pack
+    errors is fetched and re-packed locally (not the whole gather — a
+    silent whole-run serial fallback here was a 1.7× regression on the
+    store build), and every fallback is counted into ``fallbacks`` and
+    printed so it shows up in bench tails."""
     try:
-        pack_remote = ray.remote(num_cpus=1)(pack_fn)
-        refs = []
-        for bundle in ds.iter_internal_ref_bundles():
-            for block_ref in bundle.block_refs:
-                refs.append(pack_remote.remote(block_ref, *args))
-        yield from ray.get(refs)
-    except Exception:
+        block_refs = [
+            r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs
+        ]
+    except Exception as exc:
+        print(f"[verify] block refs unavailable ({exc!r}); serial driver-side pack")
+        if fallbacks is not None:
+            fallbacks["serial_gather"] = fallbacks.get("serial_gather", 0) + 1
         for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
             yield pack_fn(batch, *args)
+        return
+    pack_remote = ray.remote(num_cpus=1)(pack_fn)
+    refs = [pack_remote.remote(r, *args) for r in block_refs]
+    for ref, block_ref in zip(refs, block_refs):
+        try:
+            yield ray.get(ref)
+        except Exception as exc:
+            print(f"[verify] parallel pack failed for one block ({exc!r}); repacking locally")
+            if fallbacks is not None:
+                fallbacks["block_repacks"] = fallbacks.get("block_repacks", 0) + 1
+            yield pack_fn(ray.get(block_ref), *args)
 
 
 def attach_texts_broadcast(
@@ -105,6 +129,7 @@ def attach_texts_broadcast(
     docs: ray.data.Dataset,
     cfg: PipelineConfig,
     sigs: ray.data.Dataset | None = None,
+    fallbacks: dict | None = None,
 ) -> tuple[ray.data.Dataset, "ray.ObjectRef"]:
     """Broadcast the doc payloads via ``ray.put`` once; verifier actors
     resolve them locally.  Returns (pairs, store_ref).
@@ -124,7 +149,7 @@ def attach_texts_broadcast(
     text_chunks: list[bytes] = []
     text_lens: list[np.ndarray] = []
     for nids_b, data_b, lens_b in _gather_packed(
-        docs.select_columns(["conv_id", "text_canon"]), _pack_text_block, ()
+        docs.select_columns(["conv_id", "text_canon"]), _pack_text_block, (), fallbacks
     ):
         nid_parts.append(nids_b)
         text_chunks.append(data_b)
@@ -153,7 +178,7 @@ def attach_texts_broadcast(
         has_shingles = "shingles" in sigs.schema().names
         cols = ["nid", "sig"] + (["shingles"] if has_shingles else [])
         for nids_b, mat_b, shf_b, shl_b in _gather_packed(
-            sigs.select_columns(cols), _pack_sig_block, (cfg.num_perm, has_shingles)
+            sigs.select_columns(cols), _pack_sig_block, (cfg.num_perm, has_shingles), fallbacks
         ):
             sig_nid_parts.append(nids_b)
             sig_mats.append(mat_b)
@@ -320,6 +345,8 @@ def edges_to_conv_ids(
         from fuzzy_matching_ray.hashing import nid_of
 
         batch = _as_arrow(batch)
+        if batch.num_rows == 0:
+            return np.empty(0, np.uint64), []
         ids = batch["conv_id"].to_pylist()
         return nid_of(ids), ids
 
@@ -581,7 +608,14 @@ class VerifierPool:
                 est[i] = float((sa == sb).mean())
             need_exact = est >= gate
             jac = np.where(need_exact, jac, est)
-        gate_skips = int(n - int(need_exact.sum())) if gate > 0 else 0
+        # the metric means "pairs the gate CULLED": exclude pairs that
+        # get exactly scored anyway (substring channel / exact channel)
+        # and __skew sentinels, which were never real candidates
+        gate_skips = (
+            int(np.count_nonzero(~need_exact & ~is_substr & ~is_exact & ~is_skew))
+            if gate > 0
+            else 0
+        )
 
         # pass 2 — exact kernels only where the estimate didn't rule
         # out.  With the broadcast shingle store the Jaccard kernel
@@ -763,7 +797,13 @@ def verify_pairs(
 
     store_ref = None
     if attach == "broadcast":
-        pairs, store_ref = attach_texts_broadcast(pairs, docs, cfg, sigs=sigs)
+        fb: dict = {}
+        pairs, store_ref = attach_texts_broadcast(pairs, docs, cfg, sigs=sigs, fallbacks=fb)
+        if fb and metrics is not None:
+            # any nonzero count here means the parallel store build
+            # partially degraded to driver-side work — a real slowdown
+            # that must be visible, not silent
+            metrics["pack_fallbacks"] = fb
     else:
         pairs = attach_texts_shuffle(pairs, docs, cfg.num_partitions)
     detail["attach_s"] = round(_time.perf_counter() - _t0, 2)
