@@ -50,6 +50,9 @@ def _ensure_oracle_fixtures() -> None:
     fixtures.ensure_person_fixtures("sf0.01")
     fixtures.ensure_translit_fixtures()
     fixtures.ensure_flagship_golden("sf0.01", _SF_CONVS["sf0.01"])
+    fixtures.ensure_simhash_golden("sf0.01", _SF_CONVS["sf0.01"])
+    fixtures.ensure_substring_golden("sf0.01", _SF_CONVS["sf0.01"])
+    fixtures.ensure_fingerprint_golden("/root/testdata/sf0.01")
 
 
 try:  # never let fixture generation break module import...
@@ -140,17 +143,39 @@ def _q_dedup_simhash_clusters(sf_dir: str):
 
     from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
 
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_simhash_golden(sf, _SF_CONVS[sf])
     turns = rd.read_parquet(_transcripts_dir(sf_dir))
     return dedup_transcripts(turns, _pipeline_cfg(), channels=("simhash",)).clusters
+
+
+# the substring channel is bucket-local BY DESIGN (its documented
+# partitioning assumption, stages/suffix_array.py) — the edge set
+# therefore depends on the partition count, so the query pins it to a
+# fixed value the serial golden replicates instead of scaling it with
+# the cluster CPU count
+_SUBSTRING_QUERY_PARTITIONS = 32
 
 
 def _q_substring_pairs(sf_dir: str):
     import ray.data as rd
 
+    from fuzzy_matching_ray.config import PipelineConfig
     from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
 
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_substring_golden(
+            sf, _SF_CONVS[sf], num_partitions=_SUBSTRING_QUERY_PARTITIONS
+        )
     turns = rd.read_parquet(_transcripts_dir(sf_dir))
-    res = dedup_transcripts(turns, _pipeline_cfg(), channels=("minhash", "substring"))
+    cfg = PipelineConfig(num_partitions=_SUBSTRING_QUERY_PARTITIONS)
+    res = dedup_transcripts(turns, cfg, channels=("minhash", "substring"))
     return res.edges
 
 
@@ -225,6 +250,11 @@ def _q_langid(sf_dir: str):
 def _q_fingerprints(sf_dir: str):
     from fuzzy_matching_ray.extras.textstats import fingerprints
 
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_fingerprint_golden(sf_dir)
     return fingerprints(_read(sf_dir, "documents"))
 
 
@@ -454,11 +484,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats_documents": _q_quality_stats,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "multimodal_decode": _q_multimodal,
-        # document-table operators (heuristic / sketch — rows-only)
+        # document-table operators (heuristic / sketch)
         "langid_documents": _q_langid,
         "fingerprint_documents": _q_fingerprints,
         "minhash_dedup_documents": _q_minhash_dedup_documents,
-        # embeddings
+        # embeddings.  knn_lsh is DELIBERATELY rows-only: hyperplane-LSH
+        # ANN is approximate by contract (neighbor sets depend on the
+        # random hyperplanes), so a value oracle would either duplicate
+        # the implementation or pin an arbitrary seed's output; its
+        # quality gate is the pytest recall assertion instead
+        # (measured 0.999 recall@5 vs brute force at 10x corpus).
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
@@ -484,6 +519,9 @@ FIXTURE_ORACLE_QUERIES = frozenset(
     {
         "dedup_minhash_clusters",
         "dedup_cluster_reps",
+        "dedup_simhash_clusters",
+        "dedup_substring_edges",
+        "fingerprint_documents",
         "assemble_docs",
         "record_match_persons",
         "transliterate_persons",
@@ -506,6 +544,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_cluster_reps": (
             f"SELECT * FROM read_parquet('{_CACHE_ROOT}/flagship_golden_sf0.01/reps.parquet')"
+        ),
+        "dedup_simhash_clusters": (
+            # serial golden (fixtures.ensure_simhash_golden): independent
+            # scalar SimHash + band bucketing + the same acceptance rule,
+            # all single-process — the distributed SimHash channel must
+            # reproduce it exactly
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/simhash_golden_sf0.01/clusters.parquet')"
+        ),
+        "dedup_substring_edges": (
+            # serial golden (fixtures.ensure_substring_golden): all-pairs
+            # acceptance scan + bucket-local suffix-array channel tags
+            # under the same pinned partitioning
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/substring_golden_sf0.01/edges.parquet')"
+        ),
+        "fingerprint_documents": (
+            # frozen pure-Python winnowing golden
+            # (fixtures.ensure_fingerprint_golden)
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/fingerprint_golden_sf0.01/fingerprints.parquet')"
         ),
         "assemble_docs": (
             # per-conversation reassembly invariant: n_turns = turn

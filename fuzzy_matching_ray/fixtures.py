@@ -107,6 +107,109 @@ def ensure_person_fixtures(sf: str) -> dict[str, str]:
     return paths
 
 
+def _serial_doc_texts(sf: str, n_convs: int, seed: int, cfg) -> "pd.Series":
+    """Canonical per-conversation document texts, assembled serially
+    (pandas sort+groupby+join — no Ray, no Arrow group_by): the common
+    input of every serial golden below."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    from fuzzy_matching_ray.datagen import TranscriptGenConfig, write_transcripts
+    from fuzzy_matching_ray.functions.normalize import canonicalize_text
+
+    turns_dir = write_transcripts(
+        os.path.join(CACHE_ROOT, f"transcripts_{sf}"),
+        TranscriptGenConfig(n_convs=n_convs, seed=seed),
+    )
+    turns = pd.concat(
+        [pq_mod.read_table(f).to_pandas() for f in glob.glob(f"{turns_dir}/*.parquet")]
+    )
+    return (
+        turns.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["text"]
+        .agg(cfg.turn_separator.join)
+        .map(canonicalize_text)
+    )
+
+
+def _serial_pair_scorer(docs, cfg):
+    """Serial replica of the verifier's acceptance semantics: exact
+    shingle Jaccard, else the gray-zone capped-prefix Indel rule.
+    Returns ``jac_edit(a, b) -> (jac, edit)``; acceptance is
+    ``jac ≥ jaccard_threshold or edit ≥ edit_accept_threshold`` and
+    the pipeline's edge score is ``max(jac, edit)``.  No LSH, no
+    estimate gate, no budgets."""
+    import numpy as np
+
+    from fuzzy_matching_ray.functions.similarity import indel_ratio
+    from fuzzy_matching_ray.hashing import char_shingle_hashes
+
+    sh = {c: char_shingle_hashes(docs[c], cfg.shingle_k) for c in docs.index}
+
+    def jac_edit(a: str, b: str) -> tuple[float, float]:
+        A, B = sh[a], sh[b]
+        if A.size == 0 and B.size == 0:
+            return (1.0 if docs[a] == docs[b] else 0.0), 0.0
+        lo, hi = (A, B) if A.size <= B.size else (B, A)
+        # size prefilter: jac ≥ edit_gate_low needs min/max ≥ that
+        # ratio, and below edit_gate_low the edit kernel never runs,
+        # so such pairs can never reach any accept threshold
+        if hi.size and lo.size < cfg.edit_gate_low * hi.size:
+            return 0.0, 0.0
+        idx = np.searchsorted(hi, lo)
+        idx[idx == hi.size] = hi.size - 1
+        inter = int(np.count_nonzero(hi[idx] == lo))
+        union = A.size + B.size - inter
+        jac = inter / union if union else 0.0
+        edit = 0.0
+        if cfg.edit_gate_low <= jac < cfg.jaccard_threshold:
+            sa, sb = docs[a][:2048], docs[b][:2048]
+            la, lb = len(sa), len(sb)
+            if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
+                edit = indel_ratio(sa, sb)
+        return jac, edit
+
+    return jac_edit
+
+
+def _exact_groups(docs):
+    """Exact-dup star structure over canonical texts: per identical
+    text keep min conv_id as representative, link the rest.  Returns
+    (sorted representative ids, [(rep, dup), ...] star edges)."""
+    from collections import defaultdict
+
+    groups: dict[str, list[str]] = defaultdict(list)
+    for c in sorted(docs.index):
+        groups[docs[c]].append(c)
+    reps = []
+    star = []
+    for members in groups.values():
+        reps.append(members[0])
+        star.extend((members[0], m) for m in members[1:])
+    return sorted(reps), star
+
+
+def _components_min_label(ids, edge_pairs):
+    """Union-find with min-id labels (same contract as
+    ``stages/union_find``)."""
+    parent = {c: c for c in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            l, h = sorted((ra, rb))
+            parent[h] = l
+    return {c: find(c) for c in ids}
+
+
 def ensure_flagship_golden(sf: str, n_convs: int, seed: int = 42) -> dict[str, str]:
     """Brute-force ALL-PAIRS golden for the flagship dedup pipeline.
 
@@ -121,13 +224,9 @@ def ensure_flagship_golden(sf: str, n_convs: int, seed: int = 42) -> dict[str, s
     seed; cached under a config-fingerprint marker."""
     import itertools
 
-    import numpy as np
+    import pandas as pd
 
     from fuzzy_matching_ray.config import PipelineConfig
-    from fuzzy_matching_ray.datagen import TranscriptGenConfig, write_transcripts
-    from fuzzy_matching_ray.functions.normalize import canonicalize_text
-    from fuzzy_matching_ray.functions.similarity import indel_ratio
-    from fuzzy_matching_ray.hashing import char_shingle_hashes
 
     cfg = PipelineConfig()
     out_dir = os.path.join(CACHE_ROOT, f"flagship_golden_{sf}")
@@ -144,66 +243,19 @@ def ensure_flagship_golden(sf: str, n_convs: int, seed: int = 42) -> dict[str, s
         return paths
     os.makedirs(out_dir, exist_ok=True)
 
-    import glob
-
-    import pandas as pd
-    import pyarrow.parquet as pq_mod
-
-    turns_dir = write_transcripts(
-        os.path.join(CACHE_ROOT, f"transcripts_{sf}"),
-        TranscriptGenConfig(n_convs=n_convs, seed=seed),
-    )
-    turns = pd.concat(
-        [pq_mod.read_table(f).to_pandas() for f in glob.glob(f"{turns_dir}/*.parquet")]
-    )
-    docs = (
-        turns.sort_values(["conv_id", "turn_idx"])
-        .groupby("conv_id")["text"]
-        .agg(cfg.turn_separator.join)
-        .map(canonicalize_text)
-    )
+    docs = _serial_doc_texts(sf, n_convs, seed, cfg)
     ids = sorted(docs.index)
-    sh = {c: char_shingle_hashes(docs[c], cfg.shingle_k) for c in ids}
-    sizes = {c: sh[c].size for c in ids}
+    jac_edit = _serial_pair_scorer(docs, cfg)
 
-    def accepted(a: str, b: str) -> bool:
-        A, B = sh[a], sh[b]
-        if A.size == 0 and B.size == 0:
-            return docs[a] == docs[b]
-        # size prefilter: jac ≥ edit_gate_low needs min/max ≥ that ratio
-        lo, hi = (A, B) if A.size <= B.size else (B, A)
-        if hi.size and lo.size < cfg.edit_gate_low * hi.size:
-            return False
-        idx = np.searchsorted(hi, lo)
-        idx[idx == hi.size] = hi.size - 1
-        inter = int(np.count_nonzero(hi[idx] == lo))
-        union = A.size + B.size - inter
-        jac = inter / union if union else 0.0
-        if jac >= cfg.jaccard_threshold:
-            return True
-        if cfg.edit_gate_low <= jac < cfg.jaccard_threshold:
-            sa, sb = docs[a][:2048], docs[b][:2048]
-            la, lb = len(sa), len(sb)
-            if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
-                return indel_ratio(sa, sb) >= cfg.edit_accept_threshold
-        return False
+    def _accepted(a: str, b: str) -> bool:
+        j, e = jac_edit(a, b)
+        return j >= cfg.jaccard_threshold or e >= cfg.edit_accept_threshold
 
-    parent = {c: c for c in ids}
-
-    def find(x: str) -> str:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in itertools.combinations(ids, 2):
-        if accepted(a, b):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                l, h = sorted((ra, rb))
-                parent[h] = l
-    labels = [find(c) for c in ids]
-    clusters = pd.DataFrame({"conv_id": ids, "cluster_id": labels})
+    edge_pairs = (
+        (a, b) for a, b in itertools.combinations(ids, 2) if _accepted(a, b)
+    )
+    label = _components_min_label(ids, edge_pairs)
+    clusters = pd.DataFrame({"conv_id": ids, "cluster_id": [label[c] for c in ids]})
     csize = clusters.groupby("cluster_id")["conv_id"].size()
     reps = pd.DataFrame(
         {
@@ -255,3 +307,269 @@ def ensure_translit_fixtures() -> dict[str, str]:
     with open(marker, "w") as f:
         f.write("ok")
     return paths
+
+
+def ensure_simhash_golden(sf: str, n_convs: int, seed: int = 42) -> dict[str, str]:
+    """Serial golden for the SimHash-channel clusters.
+
+    Independent scalar SimHash (per-token per-bit counters — not the
+    pipeline's vectorized unpackbits kernel, ``stages/simhash.py:43``)
+    over the exact-dedup representatives, band-chunk bucketing with the
+    same hot-bucket budget semantics (``minhash._bucket_pairs`` is
+    reused for budget parity), then the same serial acceptance rule and
+    min-conv_id union-find as the flagship golden.  This checks the
+    whole distributed SimHash channel — signatures, banding shuffle,
+    budgets, verify, clustering — against a single-process rebuild."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from fuzzy_matching_ray.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    out_dir = os.path.join(CACHE_ROOT, f"simhash_golden_{sf}")
+    paths = {"clusters": os.path.join(out_dir, "clusters.parquet")}
+    fp = (
+        f"{n_convs}_{seed}_{cfg.simhash_bits}_{cfg.simhash_bands}"
+        f"_{cfg.max_band_bucket}_{cfg.jaccard_threshold}_{cfg.edit_accept_threshold}"
+    )
+    marker = os.path.join(out_dir, f"_done_{fp}")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = _serial_doc_texts(sf, n_convs, seed, cfg)
+    ids = sorted(docs.index)
+    reps, star = _exact_groups(docs)
+
+    def _simhash(text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        counts = [0] * cfg.simhash_bits
+        from collections import Counter
+
+        for tok, mult in Counter(toks).items():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+            for b in range(cfg.simhash_bits):
+                counts[b] += mult if (h >> b) & 1 else -mult
+        return sum(1 << b for b in range(cfg.simhash_bits) if counts[b] > 0)
+
+    width = cfg.simhash_bits // cfg.simhash_bands
+    mask = (1 << width) - 1
+    sims = {c: _simhash(docs[c]) for c in reps}
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for c in reps:
+        for i in range(cfg.simhash_bands):
+            buckets.setdefault((i, (sims[c] >> (i * width)) & mask), []).append(c)
+
+    from fuzzy_matching_ray.hashing import nid_of
+    from fuzzy_matching_ray.stages.minhash import _bucket_pairs
+
+    nids = nid_of(reps)
+    by_nid = dict(zip(nids.tolist(), reps))
+    rep_nid = dict(zip(reps, nids.tolist()))
+    candidates: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        if len(members) <= cfg.max_band_bucket:
+            ms = sorted(members)
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    candidates.add((ms[x], ms[y]))
+            continue
+        # hot band: reuse the salted/budgeted emission so candidate
+        # coverage matches the pipeline exactly
+        frame, _dropped = _bucket_pairs(
+            np.asarray([rep_nid[m] for m in members], dtype=np.uint64),
+            cfg.max_band_bucket,
+            "simhash",
+            cfg.max_pairs_per_bucket,
+        )
+        for s, d in zip(frame["src"], frame["dst"]):
+            ca, cb = by_nid[int(s)], by_nid[int(d)]
+            candidates.add(tuple(sorted((ca, cb))))
+
+    jac_edit = _serial_pair_scorer(docs, cfg)
+    edge_pairs = list(star)
+    for a, b in sorted(candidates):
+        j, e = jac_edit(a, b)
+        if j >= cfg.jaccard_threshold or e >= cfg.edit_accept_threshold:
+            edge_pairs.append((a, b))
+    label = _components_min_label(ids, edge_pairs)
+    clusters = pd.DataFrame({"conv_id": ids, "cluster_id": [label[c] for c in ids]})
+    pq.write_table(
+        pa.Table.from_pandas(clusters, preserve_index=False).replace_schema_metadata(None),
+        paths["clusters"],
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def ensure_substring_golden(
+    sf: str, n_convs: int, seed: int = 42, num_partitions: int = 32
+) -> dict[str, str]:
+    """Serial golden for the two-channel (minhash+substring) edge set.
+
+    Edges are ALL accepted pairs among exact-dedup representatives
+    (all-pairs scan — the LSH machinery must find every one) plus the
+    exact-dup star edges; the surviving channel tag follows the pair-
+    dedup priority (exact > substring > minhash), where a pair is
+    substring-tagged iff the bucket-local suffix-array pass finds it
+    under the SAME conv_id-hash bucketing the pipeline uses (the
+    bucket-local partitioning assumption is part of the documented
+    semantics, so the golden replicates it with ``num_partitions``
+    pinned — the query pins the same value)."""
+    import numpy as np
+    import pandas as pd
+
+    from fuzzy_matching_ray.config import PipelineConfig
+
+    cfg = PipelineConfig(num_partitions=num_partitions)
+    out_dir = os.path.join(CACHE_ROOT, f"substring_golden_{sf}")
+    paths = {"edges": os.path.join(out_dir, "edges.parquet")}
+    fp = (
+        f"{n_convs}_{seed}_{cfg.min_substring_len}_{num_partitions}"
+        f"_{cfg.jaccard_threshold}_{cfg.edit_accept_threshold}"
+    )
+    marker = os.path.join(out_dir, f"_done_{fp}")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = _serial_doc_texts(sf, n_convs, seed, cfg)
+    reps, star = _exact_groups(docs)
+
+    # bucket-local substring candidates under the pipeline's own
+    # string-hash bucketing (stages/grouped._bucket_of_column)
+    from fuzzy_matching_ray.hashing import nid_of
+    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+    from fuzzy_matching_ray.stages.suffix_array import _substring_pairs_bucket
+
+    nids = nid_of(reps)
+    by_nid = dict(zip(nids.tolist(), reps))
+    bucket = (
+        pd.util.hash_array(np.asarray(reps, dtype=object))
+        % np.uint64(num_partitions)
+    ).astype(np.int64)
+    substr: set[tuple[str, str]] = set()
+    for p in range(num_partitions):
+        members = [reps[i] for i in np.flatnonzero(bucket == p)]
+        if len(members) < 2:
+            continue
+        frame = _substring_pairs_bucket(
+            members,
+            [docs[c] for c in members],
+            cfg.min_substring_len,
+            cfg.max_pairs_per_bucket,
+        )
+        live = frame[frame["channel"] != SKEW_CHANNEL]
+        for s, d in zip(live["src"], live["dst"]):
+            substr.add(tuple(sorted((by_nid[int(s)], by_nid[int(d)]))))
+
+    import itertools
+
+    jac_edit = _serial_pair_scorer(docs, cfg)
+    rows = [
+        {"src": a, "dst": b, "score": 1.0, "channel": "exact"} for a, b in star
+    ]
+    for a, b in itertools.combinations(sorted(reps), 2):
+        j, e = jac_edit(a, b)
+        if j >= cfg.jaccard_threshold or e >= cfg.edit_accept_threshold:
+            rows.append(
+                {
+                    "src": a,
+                    "dst": b,
+                    "score": max(j, e),
+                    "channel": "substring" if (a, b) in substr else "minhash",
+                }
+            )
+    edges = pd.DataFrame(rows, columns=["src", "dst", "score", "channel"])
+    pq.write_table(
+        pa.Table.from_pandas(edges, preserve_index=False).replace_schema_metadata(None),
+        paths["edges"],
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def ensure_fingerprint_golden(sf_dir: str, k: int = 8, window: int = 16) -> str:
+    """Frozen pure-Python winnowing golden (Schleimer et al. 2003) for
+    ``fingerprint_documents``: plain int arithmetic, explicit per-window
+    leftmost-min scan — no numpy, no stride tricks — over the static
+    documents table.  The oracle just reads the parquet."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT, f"fingerprint_golden_{sf}")
+    out_path = os.path.join(out_dir, "fingerprints.parquet")
+    marker = os.path.join(out_dir, f"_done_{k}_{window}")
+    if os.path.exists(marker):
+        return out_path
+    os.makedirs(out_dir, exist_ok=True)
+
+    M64 = (1 << 64) - 1
+    BASE = 1099511628211  # FNV prime (hashing._POLY_BASE)
+
+    def _smx(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & M64
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M64
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M64
+        return (x ^ (x >> 31)) & M64
+
+    pows = [1] * k
+    for j in range(k - 2, -1, -1):
+        pows[j] = (pows[j + 1] * BASE) & M64
+
+    def _winnow(t: str) -> tuple[int, int]:
+        cps = [ord(c) for c in t]
+        if len(cps) < k:
+            return 0, 0
+        m = len(cps) - k + 1
+        hashes = []
+        for i in range(m):
+            acc = 0
+            for j in range(k):
+                acc = (acc + cps[i + j] * pows[j]) & M64
+            hashes.append(_smx(acc))
+        if m <= window:
+            best = 0
+            for i in range(1, m):
+                if hashes[i] < hashes[best]:
+                    best = i
+            sel = {best}
+        else:
+            sel = set()
+            for w in range(m - window + 1):
+                best = w
+                for i in range(w + 1, w + window):
+                    if hashes[i] < hashes[best]:
+                        best = i
+                sel.add(best)
+        fps = sorted({hashes[i] for i in sel})
+        return len(fps), fps[0]
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    n_fp = []
+    fp_min = []
+    for t in texts:
+        n, mn = _winnow(t or "")
+        n_fp.append(n)
+        fp_min.append(mn)
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, tbl.schema.field("doc_id").type),
+            "n_fingerprints": pa.array(n_fp, pa.int64()),
+            "fingerprint_min": pa.array(fp_min, pa.uint64()),
+        }
+    )
+    pq.write_table(out, out_path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_path
