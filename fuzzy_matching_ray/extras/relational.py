@@ -168,16 +168,32 @@ def hash_sample(
     same expression reproduces the sample in SQL (or any other
     system) exactly."""
 
+    # a 2-lowercase-hex-char threshold compares identically as a byte
+    # (hex digits sort lexicographically = numerically), unlocking the
+    # vectorized single-block MD5 kernel; anything else falls back to
+    # the literal per-row hexdigest-prefix compare
+    import string
+
+    vec_ok = len(hex_threshold) == 2 and all(
+        ch in string.digits + "abcdef" for ch in hex_threshold
+    )
+    thr_byte = int(hex_threshold, 16) if vec_ok else None
+
     def _filter(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
-        keep = np.fromiter(
-            (
-                hashlib.md5(str(i).encode()).hexdigest()[:2] < hex_threshold
-                for i in ids
-            ),
-            dtype=bool,
-            count=len(ids),
-        )
+        if vec_ok:
+            from fuzzy_matching_ray.hashing import md5_leading_byte
+
+            keep = md5_leading_byte(ids) < thr_byte
+        else:
+            keep = np.fromiter(
+                (
+                    hashlib.md5(str(i).encode()).hexdigest()[:2] < hex_threshold
+                    for i in ids
+                ),
+                dtype=bool,
+                count=len(ids),
+            )
         return pa.table({c: b[c].filter(pa.array(keep)) for c in cols})
 
     return ds.map_batches(_filter, batch_format="pyarrow")

@@ -22,12 +22,20 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pyarrow as pa
 import ray.data
 
 from fuzzy_matching_ray.config import PipelineConfig
 from fuzzy_matching_ray.stages.assemble import assemble_documents
 from fuzzy_matching_ray.stages.canonicalize import canonicalize_documents
-from fuzzy_matching_ray.stages.exact_dedup import add_text_hash, drop_exact_dups, exact_dup_edges
+from fuzzy_matching_ray.stages.exact_dedup import (
+    BROADCAST_DROP_MAX,
+    add_text_hash,
+    drop_exact_dups,
+    drop_exact_dups_broadcast,
+    exact_dup_edges,
+)
+from fuzzy_matching_ray.state import execmeter
 from fuzzy_matching_ray.stages.minhash import compute_signatures, dedup_pairs
 from fuzzy_matching_ray.stages.union_find import (
     cluster_representatives,
@@ -67,6 +75,7 @@ def dedup_transcripts(
     metrics: dict = {}
     timings: dict = {}
     metrics["stage_seconds"] = timings
+    execmeter.reset()
     _t0 = _time.perf_counter()
 
     def _lap(name: str) -> None:
@@ -90,18 +99,49 @@ def dedup_transcripts(
         docs, metrics["docs_rows"] = res.ds, res.rows
         metrics["docs_reused"] = res.reused
     else:
+        execmeter.record("docs")
         docs = _docs().materialize()
         metrics["docs_rows"] = docs.count()
     _lap("docs")
 
-    # exact-dup pre-pass
-    exact_edges = exact_dup_edges(docs, cfg.num_partitions)
-    uniq_docs = drop_exact_dups(docs, cfg.num_partitions).materialize()
-    metrics["unique_docs"] = uniq_docs.count()
-    try:
-        metrics["docs_bytes"] = int(uniq_docs.size_bytes())
-    except Exception:
-        pass
+    # exact-dup pre-pass: ONE narrow shuffle (text_sha256 + conv_id)
+    # yields the dup edges AND, by broadcast of its dst column, the
+    # unique-doc filter — the document payload never rides a dedup
+    # shuffle, and nothing downstream re-executes this stage (the lazy
+    # edge set used to re-run the hash shuffle inside the edge
+    # materialize).
+    execmeter.record("exact_edges")
+    exact_edges = exact_dup_edges(docs, cfg.num_partitions).materialize()
+    n_dup = exact_edges.count()
+    metrics["exact_dup_docs"] = n_dup
+    metrics["unique_docs"] = metrics["docs_rows"] - n_dup
+    from ray.data.dataset import MaterializedDataset
+
+    if isinstance(docs, MaterializedDataset):
+        try:
+            metrics["docs_bytes"] = int(docs.size_bytes())
+        except Exception:
+            pass
+
+    if n_dup == 0:
+        uniq_docs = docs
+    elif n_dup <= BROADCAST_DROP_MAX:
+        import ray as _ray
+
+        from fuzzy_matching_ray.stages.blocks import gather_column
+
+        dup_ids_ref = _ray.put(pa.array(gather_column(exact_edges, "dst"), pa.string()))
+        uniq_docs = drop_exact_dups_broadcast(docs, dup_ids_ref)
+        # minhash consumes uniq_docs exactly once (inside the signature
+        # materialize, where the filter fuses for free); other channels
+        # iterate it repeatedly, so give them a materialized copy
+        if any(ch != "minhash" for ch in channels):
+            execmeter.record("uniq_docs")
+            uniq_docs = uniq_docs.materialize()
+    else:
+        # dup-id set too big to broadcast: full shuffle formulation
+        execmeter.record("uniq_docs")
+        uniq_docs = drop_exact_dups(docs, cfg.num_partitions).materialize()
     _lap("exact_dedup")
 
     # payload-attach mode decided up front: it gates whether shingle
@@ -115,11 +155,16 @@ def dedup_transcripts(
     # dataset) and reused by band generation AND the verifier's
     # estimate gate — recomputing them per verifier actor would
     # dominate the verify stage
-    sigs = (
-        compute_signatures(uniq_docs, cfg, with_shingles=(attach == "broadcast")).materialize()
-        if "minhash" in channels
-        else None
-    )
+    if "minhash" in channels:
+        execmeter.record("signatures")
+        sigs = compute_signatures(
+            uniq_docs,
+            cfg,
+            with_shingles=(attach == "broadcast"),
+            n_docs=metrics["unique_docs"],
+        ).materialize()
+    else:
+        sigs = None
     if sigs is not None:
         try:
             metrics["sigs_bytes"] = int(sigs.size_bytes())
@@ -146,29 +191,34 @@ def dedup_transcripts(
         uniq_pairs = res.ds
         metrics["candidate_pairs"] = res.rows
     else:
+        execmeter.record("pairs")
         uniq_pairs = _pairs().materialize()
         metrics["candidate_pairs"] = uniq_pairs.count()
     try:
         metrics["pairs_bytes"] = int(uniq_pairs.size_bytes())
     except Exception:
         pass
-    _lap("candidate_pairs")
 
     # skew accounting: exact dropped-cross-pair total carried by the
     # __skew sentinel rows.  The sentinels flow INTO verify unfiltered
-    # (the verifier marks them dead, so they can never become edges) —
-    # filtering here would insert one more execution barrier over the
-    # full pair set just to drop a few hundred rows.
-    metrics["dropped_pairs_hot_buckets"] = _dropped_pairs(uniq_pairs, cfg)
-    _lap("skew_metrics")
+    # (the verifier marks them dead, so they can never become edges).
+    # Summed with per-block Ray tasks over the already-materialized
+    # pair blocks — NOT one more Dataset execution.
+    metrics["dropped_pairs_hot_buckets"] = _dropped_pairs(uniq_pairs)
+    _lap("candidate_pairs")
 
-    # verification
+    # verification.  The payload side (broadcast store / shuffle
+    # attach / id→conv_id reverse map) reads the FULL materialized doc
+    # corpus: dup nids never occur in candidate pairs, so the superset
+    # is harmless, and gathering from an already-materialized dataset
+    # costs zero extra executions (vs re-filtering uniq_docs per
+    # consumer).
     def _edges() -> ray.data.Dataset:
         from fuzzy_matching_ray.stages.verify import edges_to_conv_ids
 
         verified = verify_pairs(
             uniq_pairs,
-            uniq_docs,
+            docs,
             cfg,
             attach=attach,
             doc_count=metrics["unique_docs"],
@@ -178,16 +228,17 @@ def dedup_transcripts(
         # verified pairs travel as uint64 node ids; conv_id strings
         # reappear only here, on the (small) surviving edge set
         verified = edges_to_conv_ids(
-            verified, uniq_docs, doc_count=metrics["unique_docs"],
+            verified, docs, doc_count=metrics["unique_docs"],
             num_partitions=cfg.num_partitions,
         )
-        return verified.union(exact_edges)
+        return verified.union(exact_edges) if n_dup else verified
 
     if ckpt:
         res = ckpt.run_stage("edges", _edges)
         edges = res.ds
         metrics["edges"] = res.rows
     else:
+        execmeter.record("edges")
         edges = _edges().materialize()
         metrics["edges"] = edges.count()
     _lap("verify")
@@ -203,12 +254,17 @@ def dedup_transcripts(
         clusters = res.ds
         metrics["nodes"] = res.rows
     else:
+        execmeter.record("clusters")
         clusters = _clusters().materialize()
         metrics["nodes"] = clusters.count()
     _lap("union_find")
 
     reps = cluster_representatives(clusters, cfg.num_partitions)
     _lap("representatives")
+
+    sites = execmeter.snapshot()
+    metrics["execution_sites"] = sites
+    metrics["executions"] = sum(sites.values())
 
     return DedupResult(
         docs=docs if keep_docs else uniq_docs,
@@ -219,24 +275,30 @@ def dedup_transcripts(
     )
 
 
-def _dropped_pairs(uniq_pairs: ray.data.Dataset, cfg: PipelineConfig) -> int:
+def _dropped_pairs(uniq_pairs: ray.data.Dataset) -> int:
     """Exact count of cross pairs skipped by the per-bucket budget:
     the __skew sentinel rows (one per coarse bucket, unique keys that
     survive pair dedup) carry the per-bucket totals computed at
-    emission time — summed here with a tiny distributed aggregation."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    emission time — summed with per-block Ray tasks over the
+    materialized pair blocks (no extra Dataset execution)."""
+    from fuzzy_matching_ray.stages.blocks import sum_where
     from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
 
-    def _sum(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch["channel"], SKEW_CHANNEL)
-        total = pc.sum(batch["dropped"].filter(mask))
-        return pa.table({"d": pa.array([total.as_py() or 0], pa.int64())})
+    try:
+        return sum_where(uniq_pairs, "dropped", "channel", SKEW_CHANNEL)
+    except Exception as exc:
+        print(f"[dedup] block-level skew sum failed ({exc!r}); dataset fallback")
+        execmeter.record("skew_metrics_fallback")
+        import pyarrow.compute as pc
 
-    parts = (
-        uniq_pairs.select_columns(["channel", "dropped"])
-        .map_batches(_sum, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return int(parts["d"].sum()) if not parts.empty else 0
+        def _sum(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch["channel"], SKEW_CHANNEL)
+            total = pc.sum(batch["dropped"].filter(mask))
+            return pa.table({"d": pa.array([total.as_py() or 0], pa.int64())})
+
+        parts = (
+            uniq_pairs.select_columns(["channel", "dropped"])
+            .map_batches(_sum, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return int(parts["d"].sum()) if not parts.empty else 0

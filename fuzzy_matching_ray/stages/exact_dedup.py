@@ -69,10 +69,40 @@ def exact_dup_edges(docs_hashed: ray.data.Dataset, num_partitions: int = 64) -> 
 def drop_exact_dups(docs_hashed: ray.data.Dataset, num_partitions: int = 64) -> ray.data.Dataset:
     """Keep one representative per identical text (min conv_id) —
     the rest are already linked by ``exact_dup_edges`` and need not
-    flow through the sketch channels."""
+    flow through the sketch channels.
+
+    This is the *shuffle* formulation (full-payload hash shuffle on
+    ``text_sha256``) — the beyond-broadcast-scale path.  Below
+    ``BROADCAST_DROP_MAX`` duplicates the pipeline uses
+    :func:`drop_exact_dups_broadcast` instead: the dup-id set from the
+    (narrow) ``exact_dup_edges`` shuffle is broadcast once and the
+    corpus is filtered map-only, so the document payload never rides a
+    second shuffle."""
 
     def _first(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["text_sha256", "conv_id"], kind="mergesort")
         return df[~df["text_sha256"].duplicated()]
 
     return bucketed_group_apply(docs_hashed, "text_sha256", _first, num_partitions)
+
+
+# dup-id sets up to this size are shipped once via ray.put and applied
+# as a map-only filter; beyond it the shuffle formulation takes over
+BROADCAST_DROP_MAX = 20_000_000
+
+
+def drop_exact_dups_broadcast(
+    docs_hashed: ray.data.Dataset, dup_ids_ref: "ray.ObjectRef"
+) -> ray.data.Dataset:
+    """Map-only exact-dup filter: drop every ``conv_id`` in the
+    broadcast dup-id set (the ``dst`` column of ``exact_dup_edges``).
+    Lazy — fuses into whatever execution consumes it."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        ids = _ray.get(dup_ids_ref)
+        mask = pc.is_in(batch["conv_id"], value_set=ids)
+        return batch.filter(pc.invert(mask))
+
+    return docs_hashed.map_batches(_drop, batch_format="pyarrow")

@@ -111,7 +111,10 @@ class MinHashSignatures:
 
 
 def compute_signatures(
-    docs: ray.data.Dataset, cfg: PipelineConfig, with_shingles: bool = True
+    docs: ray.data.Dataset,
+    cfg: PipelineConfig,
+    with_shingles: bool = True,
+    n_docs: int | None = None,
 ) -> ray.data.Dataset:
     """docs(conv_id, text_canon, …) → narrow ``(conv_id, nid, sig)``
     dataset (actor pool; only the two needed columns leave the doc
@@ -124,10 +127,13 @@ def compute_signatures(
     that never pay for themselves) — see also ``verify_pairs``."""
     from fuzzy_matching_ray.stages.grouped import sized_pool
 
-    try:
-        n_docs = docs.count()
-    except Exception:
-        n_docs = None
+    # counting a LAZY docs dataset here would cost a whole execution
+    # just to size the pool — callers that know the count pass it
+    if n_docs is None:
+        try:
+            n_docs = docs.count()
+        except Exception:
+            n_docs = None
     # ~700 docs/actor: measured knee at sf0.1 (pool 12 → 2.5s vs pool 5
     # → 3.2s; pool 24 no better — memory-bandwidth-bound beyond that)
     pool = sized_pool(cfg.sig_concurrency, n_docs, 700)

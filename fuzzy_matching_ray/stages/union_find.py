@@ -104,8 +104,14 @@ def connected_components(
     partitioning."""
     # materialize once: lazy callers would otherwise re-execute the
     # entire upstream verify lineage for the count AND again for the
-    # solve
-    edges = edges.materialize()
+    # solve (skipped when the caller already materialized)
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(edges, MaterializedDataset):
+        from fuzzy_matching_ray.state import execmeter
+
+        execmeter.record("union_find_edges_mat")
+        edges = edges.materialize()
     n_edges = edges.count()
 
     from fuzzy_matching_ray.stages.grouped import sized_partitions

@@ -148,8 +148,12 @@ def attach_texts_broadcast(
     nid_parts: list[np.ndarray] = []
     text_chunks: list[bytes] = []
     text_lens: list[np.ndarray] = []
+    # gather straight from the (materialized) doc dataset: the pack fns
+    # project the columns they need, and iter_internal_ref_bundles on a
+    # materialized dataset lists existing blocks without a new
+    # execution (a select_columns here used to cost one)
     for nids_b, data_b, lens_b in _gather_packed(
-        docs.select_columns(["conv_id", "text_canon"]), _pack_text_block, (), fallbacks
+        docs, _pack_text_block, (), fallbacks
     ):
         nid_parts.append(nids_b)
         text_chunks.append(data_b)
@@ -176,9 +180,8 @@ def attach_texts_broadcast(
     has_shingles = False
     if sigs is not None:
         has_shingles = "shingles" in sigs.schema().names
-        cols = ["nid", "sig"] + (["shingles"] if has_shingles else [])
         for nids_b, mat_b, shf_b, shl_b in _gather_packed(
-            sigs.select_columns(cols), _pack_sig_block, (cfg.num_perm, has_shingles), fallbacks
+            sigs, _pack_sig_block, (cfg.num_perm, has_shingles), fallbacks
         ):
             sig_nid_parts.append(nids_b)
             sig_mats.append(mat_b)
@@ -350,8 +353,10 @@ def edges_to_conv_ids(
         ids = batch["conv_id"].to_pylist()
         return nid_of(ids), ids
 
+    # gather straight from the materialized doc dataset (the pack fn
+    # projects conv_id) — no select_columns execution
     rev: dict[int, str] = {}
-    for nids_b, ids_b in _gather_packed(docs.select_columns(["conv_id"]), _pack_rev, ()):
+    for nids_b, ids_b in _gather_packed(docs, _pack_rev, ()):
         rev.update(zip(nids_b.tolist(), ids_b))
     rev_ref = _ray.put(rev)
 
@@ -789,8 +794,15 @@ def verify_pairs(
 
     # materialize before counting: lazy callers would otherwise execute
     # the whole candidate-generation lineage once for the count and
-    # again for the verification pass
-    pairs = pairs.materialize()
+    # again for the verification pass.  Callers that already hold a
+    # materialized pair set (the flagship) skip the barrier entirely.
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(pairs, MaterializedDataset):
+        from fuzzy_matching_ray.state import execmeter
+
+        execmeter.record("verify_pairs_mat")
+        pairs = pairs.materialize()
     n_pairs = pairs.count()
     detail["pairs_mat_s"] = round(_time.perf_counter() - _t0, 2)
     _t0 = _time.perf_counter()
@@ -861,14 +873,26 @@ def verify_pairs(
     edges = scored.map_batches(_filter, batch_format="pyarrow")
     if not emit_gate:
         return edges
-    # split the metric sentinels off the (small, materialized) edge set
+    # split the metric sentinels off the (small, materialized) edge
+    # set; the sentinel sum runs as per-block Ray tasks over the
+    # materialized blocks — not another Dataset execution
+    from fuzzy_matching_ray.state import execmeter
+
     _t0 = _time.perf_counter()
+    execmeter.record("verify_score")
     edges = edges.materialize()
     detail["score_s"] = round(_time.perf_counter() - _t0, 2)
-    gated = edges.filter(expr=f"channel == '{GATE_CHANNEL}'").select_columns(["score"])
-    total = 0
-    for b in gated.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        s = pa.compute.sum(b["score"]).as_py()
-        total += int(s or 0)
-    metrics["gate_skipped_pairs"] = total
+    from fuzzy_matching_ray.stages.blocks import sum_where
+
+    try:
+        metrics["gate_skipped_pairs"] = sum_where(edges, "score", "channel", GATE_CHANNEL)
+    except Exception as exc:
+        print(f"[verify] block-level gate sum failed ({exc!r}); dataset fallback")
+        execmeter.record("gate_sum_fallback")
+        total = 0
+        gated = edges.filter(expr=f"channel == '{GATE_CHANNEL}'").select_columns(["score"])
+        for b in gated.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            s = pa.compute.sum(b["score"]).as_py()
+            total += int(s or 0)
+        metrics["gate_skipped_pairs"] = total
     return edges.filter(expr=f"channel != '{GATE_CHANNEL}'")

@@ -105,7 +105,7 @@ def test_skew_sentinels_flow_and_exact_drop_metric(ray_session):
     pairs = dedup_pairs(
         candidate_pairs_from_buckets(rd.from_arrow(rows), cfg, "minhash", 4), 4
     ).materialize()
-    dropped = _dropped_pairs(pairs, cfg)
+    dropped = _dropped_pairs(pairs)
     # mega-band: 13 chunks of ≤8; budget 28 = C(8,2) allows exactly the
     # first chunk's 28 cross pairs; the 12 chain links are emitted cross
     # pairs too → dropped = C(100,2) - 28 - 12
