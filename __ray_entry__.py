@@ -338,13 +338,21 @@ def _q_customer_per_nation(sf_dir: str):
 
     from ray.data.aggregate import Count
 
+    import pyarrow.compute as pc
+
     nation = _read(sf_dir, "nation").to_pandas()
-    lookup_ref = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
+    lookup_ref = ray.put(
+        (
+            pa.array(nation.n_nationkey.to_numpy()),
+            pa.array(nation.n_name, pa.string()),
+        )
+    )
 
     def _attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch["c_nationkey"].to_pylist()
-        return pa.table({"n_name": pa.array([lookup[k] for k in keys], pa.string())})
+        keys_arr, names_arr = ray.get(lookup_ref)
+        # vectorized broadcast probe: index_in + take (no per-row Python)
+        pos = pc.index_in(batch["c_nationkey"], value_set=keys_arr)
+        return pa.table({"n_name": names_arr.take(pos)})
 
     ds = _read(sf_dir, "customer").select_columns(["c_nationkey"]).map_batches(
         _attach, batch_format="pyarrow"

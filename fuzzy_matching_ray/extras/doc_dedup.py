@@ -280,27 +280,121 @@ def embedding_cosine_pairs(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Embedding near-dup pairs: cosine ≥ threshold within a blocking
-    key (vectorized float64 matmul per block)."""
+    key.
+
+    EXACT with two interchangeable block kernels (both vectorized, no
+    per-pair Python), picked per block by a candidate-count probe:
+
+    * **projection window** — for unit vectors cosine ≥ t ⟺
+      ‖a−b‖ ≤ √(2−2t), and a 1-D projection onto any unit direction
+      can only *shrink* distances, so sorting the block by a seeded
+      random projection and scanning a ±ε window yields a candidate
+      superset with zero recall loss (unlike hyperplane LSH, which
+      would break the all-pairs SQL oracle).  Sub-quadratic whenever
+      the projection discriminates (high threshold, clustered data,
+      low effective dimension).  The window census (sort +
+      searchsorted, O(n log n)) is computed BEFORE materializing any
+      pair arrays, so a non-discriminating projection costs nothing.
+    * **chunked matmul** — when the census says the window would keep
+      ≳ n²/16 pairs (e.g. this repo's threshold-0.3 64-d query, where
+      ε=1.18 exceeds the ~6σ projection spread and prunes nothing),
+      fall back to blocked upper-triangular ``chunk @ mat.T`` with
+      `np.nonzero` emission: O(n²·d) but in BLAS, with peak extra
+      memory capped by the chunk size rather than the pair count.
+
+    Both kernels emit the identical exact pair set, so the choice is
+    invisible to the oracle and to determinism (output is re-sorted)."""
+    eps_margin = 1e-9
+    cand_cap = 1 << 25  # ~34M window candidates ≈ 1.3 GB of index scratch
+
+    def _window_pairs(ids, mat, eps, rng):
+        """Exact pairs via sorted-projection window scan, or None when
+        the window census says the filter isn't selective enough."""
+        n = ids.size
+        dirs = rng.standard_normal((2, mat.shape[1]))
+        dirs /= np.linalg.norm(dirs, axis=1)[:, None]
+        p1, p2 = mat @ dirs[0], mat @ dirs[1]
+        order = np.argsort(p1, kind="stable")
+        ps = p1[order]
+        hi = np.searchsorted(ps, ps + eps, side="right")
+        cnt = hi - np.arange(n) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        if total > min(cand_cap, (n * (n - 1)) // 16):
+            return None  # projection doesn't discriminate — use matmul
+        a_pos = np.repeat(np.arange(n), cnt)
+        b_pos = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + a_pos + 1
+        ia, ib = order[a_pos], order[b_pos]
+        # projection 2 prunes the window survivors before the dot
+        keep = np.abs(p2[ia] - p2[ib]) <= eps
+        ia, ib = ia[keep], ib[keep]
+        if ia.size:
+            sims = np.einsum("ij,ij->i", mat[ia], mat[ib])
+            m = sims >= threshold
+            ia, ib = ia[m], ib[m]
+        return ia, ib
+
+    def _matmul_pairs(ids, mat):
+        """Exact pairs via blocked upper-triangular matmul; chunk rows
+        so the sims panel stays ~256 MB regardless of block size."""
+        n = ids.size
+        chunk = max(256, min(n, int((1 << 25) // max(n, 1)) + 1))
+        out_a, out_b = [], []
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n)
+            sims = mat[i0:i1] @ mat[i0:].T  # cols j >= i0 only
+            rows, cols = np.nonzero(sims >= threshold)
+            gi = rows + i0  # global row index
+            gj = cols + i0  # global col index
+            keep = gj > gi  # strict upper triangle
+            out_a.append(gi[keep].astype(np.int64))
+            out_b.append(gj[keep].astype(np.int64))
+        if not out_a:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_a), np.concatenate(out_b)
+
+    def _block_pairs(ids: np.ndarray, mat: np.ndarray, rng: np.random.Generator):
+        n = ids.size
+        if n < 2:
+            return None
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        eps = float(np.sqrt(max(2.0 - 2.0 * threshold, 0.0))) + eps_margin
+        res = _window_pairs(ids, mat, eps, rng)
+        if res is None:
+            res = _matmul_pairs(ids, mat)
+        ia, ib = res
+        if ia.size == 0:
+            return None
+        s = np.minimum(ids[ia], ids[ib])
+        d = np.maximum(ids[ia], ids[ib])
+        return s, d
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby(block_col, sort=False):
-            ids = g[id_col].to_numpy()
+        srcs, dsts = [], []
+        for key, g in df.groupby(block_col, sort=False):
+            ids = g[id_col].to_numpy().astype(np.int64)
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            mat = mat / norms[:, None]
-            sims = mat @ mat.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            mask = sims[iu, ju] >= threshold
-            for a, b in zip(iu[mask], ju[mask]):
-                s, d = int(ids[a]), int(ids[b])
-                if s > d:
-                    s, d = d, s
-                out.append((s, d))
-        if not out:
+            # per-block seeded directions: deterministic under any
+            # partitioning / arrival order (blake2b, NOT Python hash —
+            # that one is salted per process)
+            import hashlib as _hl
+
+            seed = int.from_bytes(
+                _hl.blake2b(f"ecp:{key}".encode(), digest_size=8).digest(), "little"
+            )
+            rng = np.random.Generator(np.random.PCG64(seed))
+            res = _block_pairs(ids, mat, rng)
+            if res is not None:
+                srcs.append(res[0])
+                dsts.append(res[1])
+        if not srcs:
             return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
-        out.sort()
-        return pd.DataFrame({"src": [a for a, _ in out], "dst": [b for _, b in out]}).astype("int64")
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        order = np.lexsort((dst, src))
+        return pd.DataFrame({"src": src[order], "dst": dst[order]}).astype("int64")
 
     return bucketed_group_apply(ds, block_col, _pairs, num_partitions)

@@ -60,3 +60,42 @@ def test_custom_channel_plugs_into_pipeline(ray_session, tiny_transcripts):
     a = res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
     b = base.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_batch_kernel_bit_identical():
+    """The batched SimHash kernel must reproduce the scalar per-doc
+    formulation bit-for-bit (the serial golden oracle depends on it)."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from fuzzy_matching_ray.config import PipelineConfig
+    from fuzzy_matching_ray.stages.simhash import SimHashSignatures
+
+    def scalar(text):
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                )
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = np.unpackbits(hs.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+        acc = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
+        return int.from_bytes(np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big")
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(300)] + ["приве́т", "мир"]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 60))) for _ in range(500)
+    ] + ["", "  \t\n ", "one", "a b a b a", " ".join(["x"] * (1 << 15))]
+    got = SimHashSignatures(PipelineConfig())._simhash_batch(texts)
+    exp = np.array([scalar(t) for t in texts], dtype=np.uint64)
+    assert (got == exp).all()
