@@ -448,6 +448,42 @@ def _q_sample_documents(sf_dir: str):
     return hash_sample(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def _q_orders_customer_join(sf_dir: str):
+    """Large×large inner equi-join via Ray Data's native hash join
+    (`Dataset.join`, Ray 2.49): both sides are hash-partitioned on the
+    key — no broadcast, so either side may exceed worker memory.  The
+    value-side predicate is pushed before the shuffle."""
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    return orders.filter(expr="o_totalprice > 400000").join(
+        cust, "inner", 16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+
+def _q_events_sessionize(sf_dir: str):
+    from fuzzy_matching_ray.extras.relational import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    )
+
+
+def _q_orders_topk_per_cust(sf_dir: str):
+    from fuzzy_matching_ray.extras.relational import grouped_topk
+
+    return grouped_topk(
+        _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_totalprice", "o_orderkey"]
+        ),
+        key="o_custkey",
+        val="o_totalprice",
+        tiebreak="o_orderkey",
+        k=3,
+    )
+
+
 def _q_events_hourly(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -512,7 +548,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "suppliers_with_parts": _q_suppliers_with_parts,
         "events_hourly": _q_events_hourly,
+        "orders_customer_join": _q_orders_customer_join,
         # custom relational operators (as-of join / window / sampling)
+        "events_sessionize": _q_events_sessionize,
+        "orders_topk_per_cust": _q_orders_topk_per_cust,
         "events_asof_orders": _q_events_asof_orders,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
@@ -711,6 +750,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+        ),
+        "orders_customer_join": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_totalprice > 400000"
+        ),
+        "events_sessionize": (
+            # gap comparison in microseconds on BOTH sides: a
+            # date_diff('second') truncation would let a 1800.5 s gap
+            # straddle the boundary between engines
+            "SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id "
+            "FROM (SELECT event_id, user_id, "
+            "SUM(CASE WHEN prev_ts IS NULL OR "
+            "date_diff('microsecond', prev_ts, ts) > 1800000000 "
+            "THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id "
+            "FROM (SELECT event_id, user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events))"
+        ),
+        "orders_topk_per_cust": (
+            "SELECT o_custkey, o_totalprice, o_orderkey, rk FROM ("
+            "SELECT o_custkey, o_totalprice, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+            "FROM orders) WHERE rk <= 3"
         ),
         "events_asof_orders": (
             # backward as-of join, ties on orderdate broken by max key —

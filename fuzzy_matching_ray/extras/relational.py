@@ -154,6 +154,117 @@ def rolling_window_stats(
     return bucketed_group_apply(slim, "key", _roll, num_partitions)
 
 
+def sessionize(
+    events: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: per key, events ordered by
+    ``(ts, id)`` belong to the same session until a gap strictly
+    greater than ``gap_seconds`` opens a new one; sessions are
+    numbered 1.. per key.  The training-data staple for turning an
+    event log into per-session documents.
+
+    One shuffle (co-partition by ``hash(key) % P``), then a fully
+    vectorized per-bucket kernel: global cumsum of new-session flags
+    minus a per-key base — no per-group Python.  Gap comparison is in
+    microseconds on both sides (the SQL oracle mirrors with
+    ``date_diff('microsecond', ...)``) so sub-second gaps can't
+    straddle a truncation boundary between engines."""
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b[id_col].cast(pa.int64()),
+                "key": b[key].cast(pa.int64()),
+                "ts": b[ts],
+            }
+        )
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _sess(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    key: pd.Series(dtype="int64"),
+                    "session_id": pd.Series(dtype="int64"),
+                }
+            )
+        # id as final tiebreak: deterministic under nondeterministic
+        # post-shuffle arrival order when timestamps tie within a key
+        df = df.sort_values(["key", "ts", "id"], kind="mergesort")
+        keys = df["key"].to_numpy()
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=new_key[1:])
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = 0
+        np.subtract(ts_us[1:], ts_us[:-1], out=gap[1:])
+        new_sess = new_key | (gap > gap_us)
+        cum = np.cumsum(new_sess)
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, len(df)))
+        base = np.repeat(cum[starts], counts)
+        return pd.DataFrame(
+            {
+                id_col: df["id"].to_numpy(),
+                key: keys,
+                "session_id": (cum - base + 1).astype(np.int64),
+            }
+        )
+
+    slim = events.map_batches(_prep, batch_format="pyarrow")
+    return bucketed_group_apply(slim, "key", _sess, num_partitions)
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    val: str,
+    tiebreak: str,
+    k: int = 3,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group top-k by ``val`` (descending, ties broken by
+    ``tiebreak`` ascending), with a 1-based ``rk`` rank column —
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY val DESC,
+    tiebreak) <= k``.
+
+    Scale shape: a *partial top-k combiner* runs inside
+    ``map_batches`` BEFORE the shuffle — each batch keeps at most
+    ``k`` rows per key it contains (the global top-k per key is a
+    subset of every batch-local top-k), so the all-to-all exchange
+    carries ≤ k·groups rows instead of the full table.  The same
+    vectorized sort + ``groupby().head(k)`` kernel then finalizes per
+    bucket and attaches ranks via ``cumcount``."""
+
+    cols = [key, val, tiebreak]
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].sort_values(
+            [key, val, tiebreak], ascending=[True, False, True], kind="mergesort"
+        )
+        return df.groupby(key, sort=False).head(k)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = _local(df)
+        rk = df.groupby(key, sort=False).cumcount().to_numpy() + 1
+        out = df.reset_index(drop=True)
+        out["rk"] = rk.astype(np.int64)
+        return out
+
+    pruned = ds.map_batches(_local, batch_format="pandas")
+    return bucketed_group_apply(pruned, key, _final, num_partitions)
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

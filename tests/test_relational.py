@@ -98,3 +98,85 @@ def test_hash_sample_deterministic(ray_session):
     import hashlib
 
     assert all(hashlib.md5(str(i).encode()).hexdigest()[:2] < "33" for i in a.doc_id)
+
+
+def test_sessionize_gap_edges(ray_session):
+    from fuzzy_matching_ray.extras.relational import sessionize
+
+    t = pd.Timestamp("2024-03-01")
+    s = pd.Timedelta(seconds=1)
+    events = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 7, 9, 9, 9], pa.int64()),
+                "ts": pa.array(
+                    [
+                        t,
+                        t + 1800 * s,                       # gap == 1800s → SAME session
+                        t + 3600 * s + pd.Timedelta(microseconds=1800_000_001),  # > 1800s → new
+                        t + 3600 * s + pd.Timedelta(microseconds=1800_000_001),  # tie ts, id order
+                        t,
+                        t + 5000 * s,                       # new session
+                        t + 5001 * s,
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        sessionize(events, gap_seconds=1800, num_partitions=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out.event_id, out.session_id))
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 2, 7: 2}
+    assert out.session_id.dtype == np.int64
+
+
+def test_grouped_topk_matches_window_rank(ray_session):
+    from fuzzy_matching_ray.extras.relational import grouped_topk
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 200, n).astype(np.int64),
+            "v": np.round(rng.random(n) * 10, 1),  # plenty of value ties
+            "i": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_topk(
+            rd.from_pandas(df), key="g", val="v", tiebreak="i", k=3, num_partitions=8
+        )
+        .to_pandas()
+        .sort_values(["g", "rk"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "v", "i"], ascending=[True, False, True]).groupby("g").head(3)
+    exp = exp.reset_index(drop=True)
+    exp["rk"] = exp.groupby("g").cumcount() + 1
+    pd.testing.assert_frame_equal(out[["g", "v", "i", "rk"]], exp[["g", "v", "i", "rk"]])
+
+
+def test_grouped_topk_partial_combiner_prunes(ray_session):
+    """The pre-shuffle combiner must keep ≤ k rows per key per batch
+    without losing any global winner (single-batch worst case)."""
+    from fuzzy_matching_ray.extras.relational import grouped_topk
+
+    df = pd.DataFrame(
+        {
+            "g": np.zeros(10, dtype=np.int64),
+            "v": np.arange(10, dtype=np.float64),
+            "i": np.arange(10, dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_topk(rd.from_pandas(df), key="g", val="v", tiebreak="i", k=2)
+        .to_pandas()
+        .sort_values("rk")
+        .reset_index(drop=True)
+    )
+    assert out.v.tolist() == [9.0, 8.0] and out.rk.tolist() == [1, 2]
