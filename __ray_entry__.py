@@ -302,6 +302,19 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, qmat, qids, k=5)
 
 
+def _q_knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from fuzzy_matching_ray.extras.ann import knn_ivf
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    head = t.slice(0, 10)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings")
+    return knn_ivf(ds, qmat, qids, k=5)
+
+
 def _q_multimodal(sf_dir: str):
     from fuzzy_matching_ray.extras.multimodal import decode_media, text_to_fake_binary
 
@@ -541,6 +554,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
+        # knn_ivf is rows-only for the same reason as knn_lsh: the IVF
+        # quantizer is approximate by contract (neighbor sets depend on
+        # the trained centroids); its quality gate is the pytest recall
+        # assertion in tests/test_ann.py
+        "knn_ivf": _q_knn_ivf,
         # relational coverage (groupby/sort/limit/join/window)
         "lineitem_agg": _q_lineitem_agg,
         "orders_top10": _q_orders_top10,

@@ -105,6 +105,129 @@ class HyperplaneLSH:
         return out
 
 
+def train_ivf_centroids(
+    sample: np.ndarray, nlists: int, *, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (Lloyd on
+    unit vectors, cosine assignment).  ``nlists × dim`` is tiny, so
+    training runs on the driver over a bounded sample; the centroid
+    matrix is then broadcast once."""
+    mat = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    init = rng.choice(mat.shape[0], size=min(nlists, mat.shape[0]), replace=False)
+    cent = mat[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for j in range(cent.shape[0]):  # bounded by nlists, not rows
+            sel = assign == j
+            if sel.any():
+                c = mat[sel].mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlists: int = 16,
+    nprobe: int = 4,
+    train_rows: int = 2048,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (the classic
+    scale path: train ``nlists`` centroids, assign every corpus vector
+    to its nearest list, search only each query's ``nprobe`` closest
+    lists).  Same output contract and deterministic ranking as
+    ``knn_bruteforce``; quality is gated by a pytest recall assertion
+    (approximate by contract, like ``knn_lsh``).
+
+    Scale shape: centroids train on a bounded driver-side sample and
+    broadcast once via ``ray.put``; each batch task assigns its rows
+    with one matmul against the centroid matrix and computes exact
+    similarities ONLY on columns some query probes — compute scales
+    with ``nprobe/nlists`` of the corpus instead of all of it."""
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    sample = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            for v in ds.limit(train_rows).to_pandas()[vec_col]
+        ]
+    )
+    cent = train_ivf_centroids(sample, nlists, seed=seed)
+    nprobe = min(nprobe, cent.shape[0])
+    # (Q, nlists) bool: which lists each query probes
+    q_sims = qmat @ cent.T
+    probe_idx = np.argsort(-q_sims, axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros((qmat.shape[0], cent.shape[0]), dtype=bool)
+    np.put_along_axis(probe_mask, probe_idx, True, axis=1)
+    shared = ray.put((qmat, qids, cent, probe_mask))
+
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qi, ce, pm = ray.get(shared)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        mat = _normalize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        )
+        assign = (mat @ ce.T).argmax(axis=1)  # (B,) list per row
+        cand_mask = pm[:, assign]  # (Q, B): query probes the row's list
+        if exclude_self:
+            cand_mask &= ids[None, :] != qi[:, None]
+        col_any = cand_mask.any(axis=0)
+        if not col_any.any():
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        # exact matmul over probed columns only
+        col_idx = np.flatnonzero(col_any)
+        sims_sub = qm @ mat[col_idx].T
+        out_rows = []
+        for r in range(qm.shape[0]):
+            local = np.flatnonzero(cand_mask[r][col_idx])
+            if local.size == 0:
+                continue
+            nbr_ids = ids[col_idx[local]]
+            sr = np.round(sims_sub[r][local], 6)
+            take = np.lexsort((nbr_ids, -sr))[:k]
+            for c in take:
+                out_rows.append((int(qi[r]), int(nbr_ids[c]), float(sr[c])))
+        return pd.DataFrame(
+            out_rows, columns=["query_id", "neighbor_id", "sim"]
+        ).astype({"query_id": "int64", "neighbor_id": "int64"})
+
+    partials = ds.map_batches(_probe, batch_format="pandas", batch_size=4096)
+    df = partials.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    df = df.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return (
+        df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]]
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def knn_lsh(
     ds: ray.data.Dataset,
     queries: np.ndarray,
