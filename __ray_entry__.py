@@ -276,6 +276,12 @@ def _q_embedding_cosine_pairs(sf_dir: str):
     return embedding_cosine_pairs(_read(sf_dir, "embeddings"), threshold=0.3)
 
 
+def _q_embedding_dedup_clusters(sf_dir: str):
+    from fuzzy_matching_ray.extras.doc_dedup import embedding_dedup_clusters
+
+    return embedding_dedup_clusters(_read(sf_dir, "embeddings"), threshold=0.3)
+
+
 def _q_knn_bruteforce(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -552,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality gate is the pytest recall assertion instead
         # (measured 0.999 recall@5 vs brute force at 10x corpus).
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         # knn_ivf is rows-only for the same reason as knn_lsh: the IVF
@@ -730,6 +737,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b "
             "ON a.label = b.label AND a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3"
+        ),
+        "embedding_dedup_clusters": (
+            # independent brute force: exact within-block cosine pairs,
+            # connected components via a recursive CTE, cluster_id =
+            # numeric min member (matching union_find's min label)
+            "WITH RECURSIVE e AS ("
+            "SELECT a.vec_id AS src, b.vec_id AS dst "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3), "
+            "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), "
+            "reach(a, b) AS (SELECT vec_id, vec_id FROM embeddings UNION "
+            "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src) "
+            "SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "

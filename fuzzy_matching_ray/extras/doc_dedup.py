@@ -398,3 +398,46 @@ def embedding_cosine_pairs(
         return pd.DataFrame({"src": src[order], "dst": dst[order]}).astype("int64")
 
     return bucketed_group_apply(ds, block_col, _pairs, num_partitions)
+
+
+def embedding_dedup_clusters(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Embedding near-dup clusters (the SemDeDup-shaped operator):
+    exact cosine pairs within each blocking key → connected components
+    → ``(id, cluster_id)`` with ``cluster_id`` = min member id.
+
+    Composes two already-scale-safe stages: the censused pair kernel
+    of :func:`embedding_cosine_pairs` (projection window / chunked
+    matmul) and the size-aware union-find of
+    ``stages.union_find.connected_components`` (single-task solve for
+    realistic edge counts, iterative min-label propagation beyond) —
+    both type-generic, so int64 vector ids flow through unchanged and
+    the numeric min-label matches the SQL oracle's ``min(id)``."""
+    from fuzzy_matching_ray.stages.union_find import connected_components
+
+    pairs = embedding_cosine_pairs(
+        ds,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col=block_col,
+        threshold=threshold,
+        num_partitions=num_partitions,
+    )
+    nodes = ds.map_batches(
+        lambda b: pa.table({"conv_id": b[id_col].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    cl = connected_components(nodes, pairs, num_partitions=num_partitions)
+    return cl.map_batches(
+        lambda b, name=id_col: pa.table(
+            {name: b["conv_id"], "cluster_id": b["cluster_id"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -79,8 +79,9 @@ def _uf_edge_batch(batch: pa.Table) -> pa.Table:
         parent.setdefault(ra, ra)
     out_nodes = list(parent.keys())
     labels = [find(x) for x in out_nodes]
+    t = batch["src"].type  # node ids: string conv_ids or int64 vec_ids
     return pa.table(
-        {"node": pa.array(out_nodes, pa.string()), "label": pa.array(labels, pa.string())}
+        {"node": pa.array(out_nodes, t), "label": pa.array(labels, t)}
     )
 
 
@@ -180,12 +181,20 @@ def connected_components(
 
     for rnd in range(max_rounds):
         # --- stage 1: labels ⋈ adjacency → messages -------------------
+        # pad the unused column with the node value itself, NEVER null:
+        # a null int64 column round-trips through the pandas grouped
+        # kernel as float64, and float node keys then hash to different
+        # buckets than their int adjacency rows — labels never meet
+        # their edges and propagation silently "converges" one round in
+        # (caught by test_int64_nodes_both_paths); `side` tags which
+        # rows are labels vs adjacency instead
         lab_rows = labels.map_batches(
             lambda b: pa.table(
                 {
                     "node": b["node"],
-                    "nbr": pa.array([None] * b.num_rows, pa.string()),
+                    "nbr": b["node"],
                     "label": b["label"],
+                    "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
                 }
             ),
             batch_format="pyarrow",
@@ -195,15 +204,16 @@ def connected_components(
                 {
                     "node": b["node"],
                     "nbr": b["nbr"],
-                    "label": pa.array([None] * b.num_rows, pa.string()),
+                    "label": b["node"],
+                    "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
                 }
             ),
             batch_format="pyarrow",
         )
 
         def _send(df: pd.DataFrame) -> pd.DataFrame:
-            labs = df[df["nbr"].isna()][["node", "label"]]
-            adj = df[df["label"].isna()][["node", "nbr"]]
+            labs = df[df["side"] == 0][["node", "label"]]
+            adj = df[df["side"] == 1][["node", "nbr"]]
             to_nbrs = adj.merge(labs, on="node", how="inner")
             # self-messages carry is_self=1 so the reducer can detect change
             self_msgs = pd.DataFrame(

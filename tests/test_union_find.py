@@ -61,3 +61,31 @@ def test_iterative_path_matches_single_task(ray_session, monkeypatch):
     iterative = _run(nodes, edges)
     assert iterative == small
     assert all(iterative[f"n{i}"] == "n0" for i in range(10))
+
+
+def test_int64_nodes_both_paths(ray_session, monkeypatch):
+    """Node ids need not be strings: int64 vec_ids flow through both
+    the single-task and iterative paths with NUMERIC min labels
+    (10 < 2 as ints — a stringly path would label the component '10'
+    wrong)."""
+    import pyarrow as pa
+
+    import fuzzy_matching_ray.stages.union_find as uf
+
+    nodes = rd.from_arrow(
+        pa.table({"conv_id": pa.array([2, 10, 30, 7], pa.int64())})
+    )
+    edges_tbl = pa.table(
+        {"src": pa.array([10, 30], pa.int64()), "dst": pa.array([2, 10], pa.int64())}
+    )
+    for small_cap in (5_000_000, 0):
+        monkeypatch.setattr(uf, "_SMALL_GRAPH_EDGES", small_cap)
+        out = (
+            connected_components(nodes, rd.from_arrow(edges_tbl), num_partitions=4)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert out.conv_id.tolist() == [2, 7, 10, 30]
+        assert out.cluster_id.tolist() == [2, 7, 2, 2]
+        assert out.cluster_id.dtype == "int64"
