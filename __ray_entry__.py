@@ -467,6 +467,16 @@ def _q_sample_documents(sf_dir: str):
     return hash_sample(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def _q_curate_documents(sf_dir: str):
+    """Composed curation: fused quality+langid filter → exact dedup →
+    content-addressed sample, all in one lazy Dataset plan.  The
+    oracle checks the stage *composition* end-to-end, not just the
+    stages (each is individually oracled elsewhere)."""
+    from fuzzy_matching_ray.extras.curate import curate_documents
+
+    return curate_documents(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def _q_orders_customer_join(sf_dir: str):
     """Large×large inner equi-join via Ray Data's native hash join
     (`Dataset.join`, Ray 2.49): both sides are hash-partitioned on the
@@ -580,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _q_events_asof_orders,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
+        # composed curation pipeline (filter -> dedup -> sample in one plan)
+        "curate_documents": _q_curate_documents,
     }
 
 
@@ -836,5 +848,38 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": (
             "SELECT doc_id, text FROM documents "
             "WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '33'"
+        ),
+        "curate_documents": (
+            # the full composition: quality filter (>=10 ws tokens,
+            # punct*5 <= chars) AND lang_pred='en', then exact text
+            # dedup (min doc_id survives), then md5-prefix sample.
+            # lang_pred is per-row, so computing it before or after
+            # the quality filter is equivalent.
+            "WITH q AS (SELECT doc_id, text, "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens, "
+            "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::BIGINT AS n_punct, "
+            "length(text)::BIGINT AS n_chars FROM documents), "
+            "f AS (SELECT doc_id, text, n_tokens FROM q "
+            "WHERE n_tokens >= 10 AND n_punct * 5 <= n_chars), "
+            "t AS (SELECT doc_id, text, n_tokens, "
+            "list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS toks "
+            "FROM f), "
+            "h AS (SELECT doc_id, text, n_tokens, "
+            "len(list_intersect(toks, ['the','of','and','a','to','in','is','it','that','for','with','on','as'])) AS h_en, "
+            "len(list_intersect(toks, ['le','la','les','de','des','et','un','une','est','que','pour','dans','du'])) AS h_fr, "
+            "len(list_intersect(toks, ['el','la','los','las','de','y','un','una','es','que','para','en','del'])) AS h_es, "
+            "len(list_intersect(toks, ['der','die','das','und','ein','eine','ist','zu','mit','für','auf','den'])) AS h_de "
+            "FROM t), "
+            "l AS (SELECT doc_id, text, n_tokens FROM h "
+            "WHERE NOT regexp_matches(substr(text, 1, 400), '[\\x{4e00}-\\x{9fff}]') "
+            "AND NOT (length(regexp_replace(substr(text, 1, 2000), '[^\\p{L}]', '', 'g')) > 0 "
+            "AND length(regexp_replace(substr(text, 1, 2000), '[^а-яА-Я]', '', 'g'))::DOUBLE "
+            "/ length(regexp_replace(substr(text, 1, 2000), '[^\\p{L}]', '', 'g')) > 0.5) "
+            "AND (h_en + h_fr + h_es + h_de > 0) "
+            "AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_de), "
+            "d AS (SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens "
+            "FROM l GROUP BY text) "
+            "SELECT doc_id, n_tokens FROM d "
+            "WHERE substr(md5(doc_id::VARCHAR), 1, 2) < 'aa'"
         ),
     }

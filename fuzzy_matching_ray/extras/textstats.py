@@ -67,79 +67,89 @@ _STOPWORDS = {
 }
 
 
+def quality_frame(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Batch kernel behind :func:`quality_stats` — module-level so
+    composed pipelines (``extras.curate``) can fuse it into their own
+    passes without re-stating the metric definitions."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    punct = np.empty(n, dtype=np.int64)
+    digit = np.empty(n, dtype=np.int64)
+    upper = np.empty(n, dtype=np.int64)
+    toks = np.empty(n, dtype=np.int64)
+    for i, s in enumerate(texts):
+        s = s or ""
+        punct[i] = len(_PUNCT.findall(s))
+        digit[i] = len(_DIGIT.findall(s))
+        upper[i] = len(_UPPER.findall(s))
+        toks[i] = len([t for t in _WS_TOKEN.split(s.strip()) if t])
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars_calc": pc.utf8_length(batch[text_col]).cast(pa.int64()),
+            "n_punct": pa.array(punct, pa.int64()),
+            "n_digits": pa.array(digit, pa.int64()),
+            "n_upper": pa.array(upper, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+        }
+    )
+
+
 def quality_stats(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
     """Integer quality metrics per document: char/punct/digit/upper
     counts and whitespace token count — the inputs to any downstream
     quality filter, kept integer-valued for oracle parity."""
-
-    def _stats(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        n = len(texts)
-        punct = np.empty(n, dtype=np.int64)
-        digit = np.empty(n, dtype=np.int64)
-        upper = np.empty(n, dtype=np.int64)
-        toks = np.empty(n, dtype=np.int64)
-        for i, s in enumerate(texts):
-            s = s or ""
-            punct[i] = len(_PUNCT.findall(s))
-            digit[i] = len(_DIGIT.findall(s))
-            upper[i] = len(_UPPER.findall(s))
-            toks[i] = len([t for t in _WS_TOKEN.split(s.strip()) if t])
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_chars_calc": pc.utf8_length(batch[text_col]).cast(pa.int64()),
-                "n_punct": pa.array(punct, pa.int64()),
-                "n_digits": pa.array(digit, pa.int64()),
-                "n_upper": pa.array(upper, pa.int64()),
-                "n_tokens": pa.array(toks, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(_stats, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: quality_frame(b, id_col, text_col), batch_format="pyarrow"
+    )
 
 
-def language_id(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
-    """Stopword/char-class language-ID heuristic: CJK chars → zh;
-    Cyrillic-dominant → ru; else first-wins argmax of distinct-token
-    stopword hits over {en, fr, es, de} with 'und' fallback.
+def langid_frame(batch: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """Batch kernel behind :func:`language_id` (module-level for the
+    same composability reason as :func:`quality_frame`): CJK chars →
+    zh; Cyrillic-dominant → ru; else first-wins argmax of
+    distinct-token stopword hits over {en, fr, es, de}, 'und' if 0.
 
     Fully vectorized (pandas str kernels + one explode/isin/groupby per
     language) — semantics identical to the per-row formulation and to
     the DuckDB oracle (``__ray_entry__.oracle_sql()['langid_documents']``)."""
+    ser = batch[text_col].fillna("").astype(str).reset_index(drop=True)
+    zh = ser.str.slice(0, 400).str.contains("[一-鿿]", regex=True)
+    head = ser.str.slice(0, 2000)
+    n_alpha = head.str.count(r"[^\W\d_]")
+    n_cyr = head.str.count("[а-яА-Я]")
+    ru = (n_alpha > 0) & (n_cyr > 0.5 * n_alpha)
 
-    def _lang(batch: pd.DataFrame) -> pd.DataFrame:
-        ser = batch[text_col].fillna("").astype(str).reset_index(drop=True)
-        zh = ser.str.slice(0, 400).str.contains("[一-鿿]", regex=True)
-        head = ser.str.slice(0, 2000)
-        n_alpha = head.str.count(r"[^\W\d_]")
-        n_cyr = head.str.count("[а-яА-Я]")
-        ru = (n_alpha > 0) & (n_cyr > 0.5 * n_alpha)
-
-        ex = ser.str.lower().str.split().explode()
-        tok = pd.DataFrame({"i": ex.index, "t": ex.to_numpy()}).drop_duplicates()
-        hits = {}
-        for lang in ("en", "fr", "es", "de"):
-            m = tok["t"].isin(_STOPWORDS[lang])
-            hits[lang] = (
-                tok.loc[m].groupby("i").size().reindex(ser.index, fill_value=0).to_numpy()
-            )
-        h_en, h_fr, h_es, h_de = hits["en"], hits["fr"], hits["es"], hits["de"]
-        pred = np.select(
-            [
-                zh.to_numpy(),
-                ru.to_numpy(),
-                (h_en == 0) & (h_fr == 0) & (h_es == 0) & (h_de == 0),
-                (h_en >= h_fr) & (h_en >= h_es) & (h_en >= h_de),
-                (h_fr >= h_es) & (h_fr >= h_de),
-                h_es >= h_de,
-            ],
-            ["zh", "ru", "und", "en", "fr", "es"],
-            default="de",
+    ex = ser.str.lower().str.split().explode()
+    tok = pd.DataFrame({"i": ex.index, "t": ex.to_numpy()}).drop_duplicates()
+    hits = {}
+    for lang in ("en", "fr", "es", "de"):
+        m = tok["t"].isin(_STOPWORDS[lang])
+        hits[lang] = (
+            tok.loc[m].groupby("i").size().reindex(ser.index, fill_value=0).to_numpy()
         )
-        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "lang_pred": pred})
+    h_en, h_fr, h_es, h_de = hits["en"], hits["fr"], hits["es"], hits["de"]
+    pred = np.select(
+        [
+            zh.to_numpy(),
+            ru.to_numpy(),
+            (h_en == 0) & (h_fr == 0) & (h_es == 0) & (h_de == 0),
+            (h_en >= h_fr) & (h_en >= h_es) & (h_en >= h_de),
+            (h_fr >= h_es) & (h_fr >= h_de),
+            h_es >= h_de,
+        ],
+        ["zh", "ru", "und", "en", "fr", "es"],
+        default="de",
+    )
+    return pd.DataFrame({id_col: batch[id_col].to_numpy(), "lang_pred": pred})
 
-    return ds.map_batches(_lang, batch_format="pandas")
+
+def language_id(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Stopword/char-class language-ID heuristic (see
+    :func:`langid_frame` for the exact rules)."""
+    return ds.map_batches(
+        lambda b: langid_frame(b, id_col, text_col), batch_format="pandas"
+    )
 
 
 # --- document fingerprinting ----------------------------------------------
