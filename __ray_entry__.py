@@ -467,6 +467,27 @@ def _q_sample_documents(sf_dir: str):
     return hash_sample(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def _q_events_range_join(sf_dir: str):
+    """Self interval join: for each event, the same user's events in
+    the strictly-preceding 1-hour window (b.ts in [a.ts-1h, a.ts))."""
+    from fuzzy_matching_ray.extras.relational import range_join
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    return range_join(
+        ev,
+        ev,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+        right_id="event_id",
+        low_seconds=3600,
+        out_left="event_id",
+        out_right="prior_event_id",
+    )
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -588,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "orders_topk_per_cust": _q_orders_topk_per_cust,
         "events_asof_orders": _q_events_asof_orders,
+        "events_range_join": _q_events_range_join,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -848,6 +870,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": (
             "SELECT doc_id, text FROM documents "
             "WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '33'"
+        ),
+        "events_range_join": (
+            "SELECT a.event_id AS event_id, b.event_id AS prior_event_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts >= a.ts - INTERVAL 3600 SECOND AND b.ts < a.ts"
         ),
         "curate_documents": (
             # the full composition: quality filter (>=10 ws tokens,

@@ -265,6 +265,95 @@ def grouped_topk(
     return bucketed_group_apply(pruned, key, _final, num_partitions)
 
 
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_id: str,
+    low_seconds: int,
+    high_seconds: int = 0,
+    upper_exclusive: bool = True,
+    out_left: str = "left_id",
+    out_right: str = "right_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Equi+range (interval) join: emit ``(out_left, out_right)`` for
+    every pair with matching key and ``right_ts`` inside
+    ``[left_ts - low_seconds, left_ts + high_seconds]`` (upper bound
+    strict when ``upper_exclusive`` — the self-join "preceding
+    window" form excludes the row itself that way).
+
+    Both sides are co-partitioned by ``hash(key) % P`` in ONE shuffle
+    (no broadcast — either side may be large); per bucket a C-level
+    hash equi-join on the key produces per-key candidate pairs which
+    the vectorized interval mask then filters.  The intermediate is
+    Σ_k |L_k|·|R_k| *within the bucket* — fine for bounded per-key
+    fan-out (the common case: events per user per window); a key hot
+    enough to blow that product up needs the same salting/budget
+    treatment the dedup channels apply (`stages/minhash.py` pair
+    budgets) and is intentionally out of scope here."""
+
+    def _l_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b[left_key].cast(pa.int64()),
+                "_side": pa.array([0] * b.num_rows, pa.int8()),
+                "_id": b[left_id].cast(pa.int64()),
+                "_ts": b[left_ts],
+            }
+        )
+
+    def _r_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b[right_key].cast(pa.int64()),
+                "_side": pa.array([1] * b.num_rows, pa.int8()),
+                "_id": b[right_id].cast(pa.int64()),
+                "_ts": b[right_ts],
+            }
+        )
+
+    low_us = int(low_seconds) * 1_000_000
+    high_us = int(high_seconds) * 1_000_000
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        lv = df[df["_side"] == 0]
+        rv = df[df["_side"] == 1]
+        if lv.empty or rv.empty:
+            return pd.DataFrame(
+                {
+                    out_left: pd.Series(dtype="int64"),
+                    out_right: pd.Series(dtype="int64"),
+                }
+            )
+        m = lv[["key", "_id", "_ts"]].merge(
+            rv[["key", "_id", "_ts"]], on="key", suffixes=("_l", "_r")
+        )
+        lt = m["_ts_l"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rt = m["_ts_r"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ok = rt >= lt - low_us
+        if upper_exclusive:
+            ok &= rt < lt + high_us
+        else:
+            ok &= rt <= lt + high_us
+        return pd.DataFrame(
+            {
+                out_left: m["_id_l"].to_numpy()[ok],
+                out_right: m["_id_r"].to_numpy()[ok],
+            }
+        )
+
+    rows = left.map_batches(_l_rows, batch_format="pyarrow").union(
+        right.map_batches(_r_rows, batch_format="pyarrow")
+    )
+    return bucketed_group_apply(rows, "key", _join, num_partitions)
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
