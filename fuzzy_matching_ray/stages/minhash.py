@@ -50,44 +50,52 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
-class MinHashSignatures:
-    """Stateful signature stage: permutations built once per actor.
+# per-WORKER-PROCESS permutation cache: the signature stage runs as
+# stateless tasks (actor pools ramp up lazily — a few-second stage
+# never reaches full width; tasks go wide immediately), and Ray worker
+# processes persist across tasks, so this module global gives the same
+# build-once-per-worker semantics an actor __init__ would
+_COEFFS: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
-    Appends a ``sig`` FixedSizeList<uint64>[num_perm] column to the doc
-    batch.  Signatures are computed exactly ONCE here and reused by
+
+def _cached_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (num_perm, seed)
+    if key not in _COEFFS:
+        _COEFFS[key] = minhash_coeffs(num_perm, seed)
+    return _COEFFS[key]
+
+
+def signature_batch(
+    batch: pa.Table, cfg: PipelineConfig, with_shingles: bool = True
+) -> pa.Table:
+    """k-char-shingle MinHash signatures for one Arrow batch (Broder
+    1997).  Signatures are computed exactly ONCE here and reused by
     both band generation (cheap vectorized mix) and the verifier's
     estimate gate — recomputing them per verifier actor would dominate
-    the verify stage (every actor sees pairs spanning the corpus).
-    """
+    the verify stage (every actor sees pairs spanning the corpus)."""
+    a, b = _cached_coeffs(cfg.num_perm, cfg.seed)
+    texts = batch["text_canon"].to_pylist()
+    k = cfg.shingle_k
+    n = len(texts)
+    out = np.empty((n, cfg.num_perm), dtype=np.uint64)
+    sh_parts: list[np.ndarray] = []
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts):
+        sh = char_shingle_hashes(t or "", k)
+        if with_shingles:
+            sh_parts.append(sh)
+            offsets[i + 1] = offsets[i] + sh.size
+        out[i] = minhash_signature(sh, a, b)
+    from fuzzy_matching_ray.hashing import nid_of
 
-    def __init__(self, cfg: PipelineConfig, with_shingles: bool = True):
-        self.cfg = cfg
-        self.with_shingles = with_shingles
-        self.a, self.b = minhash_coeffs(cfg.num_perm, cfg.seed)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text_canon"].to_pylist()
-        k = self.cfg.shingle_k
-        n = len(texts)
-        out = np.empty((n, self.cfg.num_perm), dtype=np.uint64)
-        sh_parts: list[np.ndarray] = []
-        offsets = np.empty(n + 1, dtype=np.int64)
-        offsets[0] = 0
-        for i, t in enumerate(texts):
-            sh = char_shingle_hashes(t or "", k)
-            if self.with_shingles:
-                sh_parts.append(sh)
-                offsets[i + 1] = offsets[i] + sh.size
-            out[i] = minhash_signature(sh, self.a, self.b)
-        from fuzzy_matching_ray.hashing import nid_of
-
-        cols = {
-            "conv_id": batch["conv_id"],
-            "nid": pa.array(nid_of(batch["conv_id"].to_pylist()), pa.uint64()),
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(out.reshape(-1), pa.uint64()), self.cfg.num_perm
-            ),
-        }
+    cols = {
+        "conv_id": batch["conv_id"],
+        "nid": pa.array(nid_of(batch["conv_id"].to_pylist()), pa.uint64()),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1), pa.uint64()), cfg.num_perm
+        ),
+    }
         # the sorted-unique shingle sets ride along so the verifier's
         # exact-Jaccard kernel never recomputes them per actor (that
         # duplicated work is CPU-count-independent and kills scaling).
@@ -96,18 +104,32 @@ class MinHashSignatures:
         # stays a narrow (nid, sig) table instead of ~4× the corpus in
         # the object store, and verifiers recompute shingles from the
         # shuffle-attached text instead.
-        if self.with_shingles:
-            flat = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
-            # shingle hashes are 32-bit values (hashing.char_shingle_hashes
-            # masks to _MAX_HASH32): carried as uint32, halving the
-            # largest payload in the object store AND the exact-Jaccard
-            # kernel's memory traffic.  large_list offsets stay int64 —
-            # int32 would overflow past 2^31 cumulative shingles.
-            cols["shingles"] = pa.LargeListArray.from_arrays(
-                pa.array(offsets, pa.int64()),
-                pa.array(flat.astype(np.uint32), pa.uint32()),
-            )
-        return pa.table(cols)
+    if with_shingles:
+        flat = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
+        # shingle hashes are 32-bit values (hashing.char_shingle_hashes
+        # masks to _MAX_HASH32): carried as uint32, halving the
+        # largest payload in the object store AND the exact-Jaccard
+        # kernel's memory traffic.  large_list offsets stay int64 —
+        # int32 would overflow past 2^31 cumulative shingles.
+        cols["shingles"] = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(flat.astype(np.uint32), pa.uint32()),
+        )
+    return pa.table(cols)
+
+
+class MinHashSignatures:
+    """Callable-class form of :func:`signature_batch` (kept for actor-
+    pool use and tests; the pipeline itself runs the stateless task
+    form — see ``compute_signatures``)."""
+
+    def __init__(self, cfg: PipelineConfig, with_shingles: bool = True):
+        self.cfg = cfg
+        self.with_shingles = with_shingles
+        self.a, self.b = _cached_coeffs(cfg.num_perm, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return signature_batch(batch, self.cfg, self.with_shingles)
 
 
 def compute_signatures(
@@ -117,32 +139,22 @@ def compute_signatures(
     n_docs: int | None = None,
 ) -> ray.data.Dataset:
     """docs(conv_id, text_canon, …) → narrow ``(conv_id, nid, sig)``
-    dataset (actor pool; only the two needed columns leave the doc
-    store).  ``with_shingles`` additionally carries the shingle sets
-    for the broadcast-attach verify mode (see ``MinHashSignatures``).
+    dataset; only the two needed columns leave the doc store.
+    ``with_shingles`` additionally carries the shingle sets for the
+    broadcast-attach verify mode (see ``signature_batch``).
 
-    Fixed-size pool clamped to the cluster CPU count AND the data
-    volume (per-actor startup is ~1-2s of pure overhead; signatures
-    cost ~1ms/doc, so a pool bigger than ~n_docs/2000 starts actors
-    that never pay for themselves) — see also ``verify_pairs``."""
-    from fuzzy_matching_ray.stages.grouped import sized_pool
-
-    # counting a LAZY docs dataset here would cost a whole execution
-    # just to size the pool — callers that know the count pass it
-    if n_docs is None:
-        try:
-            n_docs = docs.count()
-        except Exception:
-            n_docs = None
-    # ~700 docs/actor: measured knee at sf0.1 (pool 12 → 2.5s vs pool 5
-    # → 3.2s; pool 24 no better — memory-bandwidth-bound beyond that)
-    pool = sized_pool(cfg.sig_concurrency, n_docs, 700)
+    Runs as STATELESS TASKS, not an actor pool: the only per-worker
+    state is two tiny coefficient vectors (module-cached per worker
+    process), and Ray's actor pools ramp up lazily — on a few-second
+    stage the pool never reaches its sized width, which measured as a
+    CPU-count-independent stage wall (flat 6.8s at 8 and 32 CPUs at
+    scale24000).  Tasks schedule wide immediately.  ``n_docs`` kept
+    for call-site compatibility."""
+    del n_docs
     return docs.select_columns(["conv_id", "text_canon"]).map_batches(
-        MinHashSignatures,
-        fn_constructor_args=(cfg, with_shingles),
+        lambda b: signature_batch(b, cfg, with_shingles),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=pool,
         num_cpus=1,
     )
 
