@@ -10,8 +10,10 @@ hashes within Hamming distance < bands share at least one chunk
 guaranteed radius.  Reuses the same skew-aware bucket machinery as the
 MinHash channel.
 
-Stateful actor: per-actor token-hash cache (tokens repeat heavily
-across documents).
+Token-hash cache: per WORKER PROCESS (module global — tokens repeat
+heavily across documents), so the stage runs as stateless tasks that
+schedule wide immediately instead of an actor pool that ramps up
+lazily (same reasoning as ``minhash.compute_signatures``).
 """
 
 from __future__ import annotations
@@ -24,20 +26,24 @@ import ray.data
 
 from fuzzy_matching_ray.config import PipelineConfig
 
+# per-worker-process token→hash cache, growth-capped
+_TOKEN_CACHE: dict[str, int] = {}
+
 
 class SimHashSignatures:
-    """Actor-pool stage: one vectorized pass per batch.
+    """Batch kernel: one vectorized pass per batch.
 
     Tokens are deduplicated across the whole batch (``pd.factorize``),
-    only *new* unique tokens pay a blake2b call (per-actor cache keeps
-    them across batches), and the per-document bit accumulation runs
-    as one batched unpackbits + segment-sum instead of a Python loop
-    per document.  Bit-identical with the scalar formulation (the
-    serial golden oracle and ``tests`` pin this)."""
+    only *new* unique tokens pay a blake2b call (the worker-process
+    cache keeps them across batches AND tasks), and the per-document
+    bit accumulation runs as one batched unpackbits + segment-sum
+    instead of a Python loop per document.  Bit-identical with the
+    scalar formulation (the serial golden oracle and ``tests`` pin
+    this)."""
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
-        self._cache: dict[str, int] = {}
+        self._cache = _TOKEN_CACHE
 
     def _hashes_for(self, uniq: np.ndarray) -> np.ndarray:
         """uint64 blake2b hash per unique token, cache-backed."""
@@ -114,22 +120,14 @@ def simhash_band_rows(docs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
     """docs(conv_id, text_canon) → (band_key, nid) band rows for the
     SimHash channel.  Keys carry the chunk index in the high bits and a
     channel tag so they never collide with MinHash band keys."""
-    # fixed cluster-and-data-clamped pool: autoscaling (1, N) pools ramp
-    # from one actor and leave the stage effectively serial (measured in
-    # round 1 — see stages/grouped.sized_pool)
-    from fuzzy_matching_ray.stages.grouped import sized_pool
-
-    try:
-        n_docs = docs.count()
-    except Exception:
-        n_docs = None
-    pool = sized_pool(cfg.sig_concurrency, n_docs, 2000)
+    # stateless tasks (the token cache lives at worker-process level):
+    # no pool ramp, no docs.count() execution just to size a pool.
+    # the kernel is constructed INSIDE the task so it binds the
+    # worker's module-global cache, not a pickled driver-side copy
     sigs = docs.select_columns(["conv_id", "text_canon"]).map_batches(
-        SimHashSignatures,
-        fn_constructor_args=(cfg,),
+        lambda b: SimHashSignatures(cfg)(b),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=pool,
         num_cpus=1,
     )
     bands = cfg.simhash_bands
