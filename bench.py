@@ -132,6 +132,8 @@ def _dedup_only(sf_dir: str, num_cpus: int) -> dict:
         "n_clusters": int(n_clusters),
         "turns_per_sec": round(n_turns / sec, 1),
         "stage_seconds": res.metrics.get("stage_seconds", {}),
+        "verify_detail": res.metrics.get("verify_detail", {}),
+        "executions": res.metrics.get("executions"),
     }
 
 
@@ -175,6 +177,8 @@ def main() -> None:
                     "n_turns": r_hi["n_turns"],
                     "stage_seconds_8": r_lo.get("stage_seconds", {}),
                     "stage_seconds_32": r_hi.get("stage_seconds", {}),
+                    "verify_detail_8": r_lo.get("verify_detail", {}),
+                    "verify_detail_32": r_hi.get("verify_detail", {}),
                 }
             )
         )

@@ -124,40 +124,15 @@ def _gather_packed(ds: ray.data.Dataset, pack_fn, args: tuple, fallbacks: dict |
             yield pack_fn(ray.get(block_ref), *args)
 
 
-def attach_texts_broadcast(
-    pairs: ray.data.Dataset,
-    docs: ray.data.Dataset,
-    cfg: PipelineConfig,
-    sigs: ray.data.Dataset | None = None,
-    fallbacks: dict | None = None,
-) -> tuple[ray.data.Dataset, "ray.ObjectRef"]:
-    """Broadcast the doc payloads via ``ray.put`` once; verifier actors
-    resolve them locally.  Returns (pairs, store_ref).
-
-    Store layout is fully columnar — an id→row dict plus flat numpy
-    buffers (utf-8 text bytes + offsets, concatenated sorted shingle
-    sets + offsets, signature matrix).  Numpy buffers deserialize
-    zero-copy out of the object store, so N verifier actors on a node
-    share ONE copy of the ~payload instead of N pickled copies, and
-    the exact-Jaccard kernel reads shingle-set views without ever
-    recomputing them (per-actor recompute is CPU-count-independent
-    work that kills scaling)."""
-    # Per-block packing runs as PARALLEL Ray tasks (the store build was
-    # a serial driver bottleneck — 15-50s at 10⁵ docs); the driver only
-    # concatenates the pre-packed numpy buffers it gets back zero-copy.
-    nid_parts: list[np.ndarray] = []
-    text_chunks: list[bytes] = []
-    text_lens: list[np.ndarray] = []
-    # gather straight from the (materialized) doc dataset: the pack fns
-    # project the columns they need, and iter_internal_ref_bundles on a
-    # materialized dataset lists existing blocks without a new
-    # execution (a select_columns here used to cost one)
-    for nids_b, data_b, lens_b in _gather_packed(
-        docs, _pack_text_block, (), fallbacks
-    ):
-        nid_parts.append(nids_b)
-        text_chunks.append(data_b)
-        text_lens.append(lens_b)
+def _assemble_store(
+    text_parts: list, sig_parts: list, has_shingles: bool
+) -> dict:
+    """Concatenate packed per-block buffers into the columnar broadcast
+    store.  Runs inside ONE remote task on the fast path (the driver
+    never touches the big buffers); also the driver-side fallback."""
+    nid_parts = [p[0] for p in text_parts]
+    text_chunks = [p[1] for p in text_parts]
+    text_lens = [p[2] for p in text_parts]
 
     text_nids = np.concatenate(nid_parts) if nid_parts else np.empty(0, dtype=np.uint64)
     n_docs = text_nids.size
@@ -173,21 +148,10 @@ def attach_texts_broadcast(
     # signature-side arrays keep the SIGS dataset's own iteration order
     # under their own sorted-nid index — no per-row scatter, just
     # per-batch concatenation of already-contiguous buffers
-    sig_nid_parts: list[np.ndarray] = []
-    sig_mats: list[np.ndarray] = []
-    sh_flats: list[np.ndarray] = []
-    sh_lens: list[np.ndarray] = []
-    has_shingles = False
-    if sigs is not None:
-        has_shingles = "shingles" in sigs.schema().names
-        for nids_b, mat_b, shf_b, shl_b in _gather_packed(
-            sigs, _pack_sig_block, (cfg.num_perm, has_shingles), fallbacks
-        ):
-            sig_nid_parts.append(nids_b)
-            sig_mats.append(mat_b)
-            if has_shingles:
-                sh_flats.append(shf_b)
-                sh_lens.append(shl_b)
+    sig_nid_parts = [p[0] for p in sig_parts]
+    sig_mats = [p[1] for p in sig_parts]
+    sh_flats = [p[2] for p in sig_parts if has_shingles]
+    sh_lens = [p[3] for p in sig_parts if has_shingles]
 
     sig_nids = (
         np.concatenate(sig_nid_parts) if sig_nid_parts else np.empty(0, dtype=np.uint64)
@@ -202,7 +166,7 @@ def attach_texts_broadcast(
         sh_off = np.zeros(lens_s.size + 1, dtype=np.int64)
         np.cumsum(lens_s, out=sh_off[1:])
 
-    store = {
+    return {
         "text_nids_sorted": text_nids_sorted,
         "text_order": text_order,
         "text_flat": text_flat,
@@ -213,7 +177,82 @@ def attach_texts_broadcast(
         "sh_flat": sh_flat,
         "sh_off": sh_off,
     }
-    return pairs, ray.put(store)
+
+
+def _assemble_store_task(n_text: int, has_shingles: bool, *parts) -> dict:
+    """Remote entry: Ray resolves the pack-task refs in ``*parts``
+    zero-copy before the task body runs."""
+    return _assemble_store(list(parts[:n_text]), list(parts[n_text:]), has_shingles)
+
+
+def attach_texts_broadcast(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    cfg: PipelineConfig,
+    sigs: ray.data.Dataset | None = None,
+    fallbacks: dict | None = None,
+) -> tuple[ray.data.Dataset, "ray.ObjectRef"]:
+    """Broadcast the doc payloads once; verifier actors resolve them
+    locally.  Returns (pairs, store_ref).
+
+    Store layout is fully columnar — sorted-nid index arrays plus flat
+    numpy buffers (utf-8 text bytes + offsets, concatenated sorted
+    shingle sets + offsets, signature matrix).  Numpy buffers
+    deserialize zero-copy out of the object store, so N verifier
+    actors on a node share ONE copy of the payload instead of N
+    pickled copies, and the exact-Jaccard kernel reads shingle-set
+    views without ever recomputing them (per-actor recompute is
+    CPU-count-independent work that kills scaling).
+
+    Build path: per-block pack tasks run in PARALLEL, and the concat +
+    index assembly runs in ONE remote task whose arguments are the
+    pack refs (zero-copy resolve) and whose return value IS the
+    broadcast object — the driver handles only refs, so the build
+    costs one worker-side copy instead of the old pack→driver→
+    ``ray.put`` double round-trip (measured as a CPU-count-independent
+    ~12s at scale24000 in attach_s).  Any failure falls back, loudly
+    and counted, to the driver-side gather (which retains per-block
+    repack repair)."""
+    has_shingles = sigs is not None and "shingles" in sigs.schema().names
+    try:
+        # gather straight from the (materialized) datasets: the pack
+        # fns project the columns they need, and
+        # iter_internal_ref_bundles on a materialized dataset lists
+        # existing blocks without a new execution
+        text_blocks = [
+            r for bundle in docs.iter_internal_ref_bundles() for r in bundle.block_refs
+        ]
+        pack_text = ray.remote(num_cpus=1)(_pack_text_block)
+        text_refs = [pack_text.remote(r) for r in text_blocks]
+        sig_refs: list = []
+        if sigs is not None:
+            sig_blocks = [
+                r for bundle in sigs.iter_internal_ref_bundles() for r in bundle.block_refs
+            ]
+            pack_sig = ray.remote(num_cpus=1)(_pack_sig_block)
+            sig_refs = [pack_sig.remote(r, cfg.num_perm, has_shingles) for r in sig_blocks]
+        build = ray.remote(num_cpus=2)(_assemble_store_task)
+        store_ref = build.remote(len(text_refs), has_shingles, *text_refs, *sig_refs)
+        # health probe that fetches ONE int, not the store: a failed
+        # pack/build must surface HERE (where the fallback can run),
+        # not inside a verifier actor's __init__
+        probe = ray.remote(num_cpus=0)(lambda s: int(s["text_nids_sorted"].size))
+        n_store = ray.get(probe.remote(store_ref))
+        if n_store == 0 and docs.count() > 0:
+            raise RuntimeError("remote store build produced an empty store")
+        return pairs, store_ref
+    except Exception as exc:
+        print(f"[verify] remote store build failed ({exc!r}); driver-side build")
+        if fallbacks is not None:
+            fallbacks["driver_store_build"] = fallbacks.get("driver_store_build", 0) + 1
+
+    text_parts = list(_gather_packed(docs, _pack_text_block, (), fallbacks))
+    sig_parts = (
+        list(_gather_packed(sigs, _pack_sig_block, (cfg.num_perm, has_shingles), fallbacks))
+        if sigs is not None
+        else []
+    )
+    return pairs, ray.put(_assemble_store(text_parts, sig_parts, has_shingles))
 
 
 def _pad_column(typ: pa.DataType, n: int) -> pa.Array:
