@@ -448,7 +448,7 @@ def ensure_substring_golden(
     # bucket-local substring candidates under the pipeline's own
     # string-hash bucketing (stages/grouped._bucket_of_column)
     from fuzzy_matching_ray.hashing import nid_of
-    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+    from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
     from fuzzy_matching_ray.stages.suffix_array import _substring_pairs_bucket
 
     nids = nid_of(reps)
@@ -468,7 +468,7 @@ def ensure_substring_golden(
             cfg.min_substring_len,
             cfg.max_pairs_per_bucket,
         )
-        live = frame[frame["channel"] != SKEW_CHANNEL]
+        live = frame[frame["channel"] != CHANNEL_CODES[SKEW_CHANNEL]]
         for s, d in zip(live["src"], live["dst"]):
             substr.add(tuple(sorted((by_nid[int(s)], by_nid[int(d)]))))
 

@@ -282,17 +282,17 @@ def _dropped_pairs(uniq_pairs: ray.data.Dataset) -> int:
     emission time — summed with per-block Ray tasks over the
     materialized pair blocks (no extra Dataset execution)."""
     from fuzzy_matching_ray.stages.blocks import sum_where
-    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+    from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
 
     try:
-        return sum_where(uniq_pairs, "dropped", "channel", SKEW_CHANNEL)
+        return sum_where(uniq_pairs, "dropped", "channel", CHANNEL_CODES[SKEW_CHANNEL])
     except Exception as exc:
         print(f"[dedup] block-level skew sum failed ({exc!r}); dataset fallback")
         execmeter.record("skew_metrics_fallback")
         import pyarrow.compute as pc
 
         def _sum(batch: pa.Table) -> pa.Table:
-            mask = pc.equal(batch["channel"], SKEW_CHANNEL)
+            mask = pc.equal(batch["channel"], CHANNEL_CODES[SKEW_CHANNEL])
             total = pc.sum(batch["dropped"].filter(mask))
             return pa.table({"d": pa.array([total.as_py() or 0], pa.int64())})
 

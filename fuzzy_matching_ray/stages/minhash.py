@@ -43,11 +43,43 @@ PAIR_SCHEMA = pa.schema(
     [
         ("src", pa.uint64()),   # stable node id (hashing.nid_of)
         ("dst", pa.uint64()),
-        ("channel", pa.string()),
+        ("channel", pa.int8()),  # dictionary code — see CHANNEL_CODES
         ("bucket_size", pa.int32()),
         ("dropped", pa.int64()),
     ]
 )
+
+# channel tags ride the pair shuffles as int8 DICTIONARY CODES: the
+# per-row channel strings were ~11 bytes/row of pure freight on the
+# biggest exchange in the pipeline (candidate pairs), and the code
+# order doubles as the pair-dedup priority (lower wins).  Names are
+# restored by decode_channels() on the final (small) edge set only.
+CHANNEL_CODES: dict[str, int] = {
+    "exact": 0,
+    "substring": 1,
+    "minhash": 2,
+    "simhash": 3,
+    SKEW_CHANNEL: 4,
+    "__gate": 5,
+}
+
+
+def channel_code(name: str) -> int:
+    """Code for a channel name.  Unseen (user-registered) channels get
+    the next free code — lowest dedup priority.  Assignment happens on
+    the driver while building the stage closure, so every worker sees
+    the captured code, never this dict."""
+    if name not in CHANNEL_CODES:
+        CHANNEL_CODES[name] = max(CHANNEL_CODES.values()) + 1
+    return CHANNEL_CODES[name]
+
+
+def decode_channels(codes: np.ndarray) -> np.ndarray:
+    """int8 code array → object array of channel names."""
+    names = np.empty(max(CHANNEL_CODES.values()) + 1, dtype=object)
+    for k, v in CHANNEL_CODES.items():
+        names[v] = k
+    return names[codes]
 
 
 # per-WORKER-PROCESS permutation cache: the signature stage runs as
@@ -96,14 +128,14 @@ def signature_batch(
             pa.array(out.reshape(-1), pa.uint64()), cfg.num_perm
         ),
     }
-        # the sorted-unique shingle sets ride along so the verifier's
-        # exact-Jaccard kernel never recomputes them per actor (that
-        # duplicated work is CPU-count-independent and kills scaling).
-        # ``with_shingles=False`` (the big-side / shuffle-attach mode)
-        # skips this ~4 bytes/char payload: the signature dataset then
-        # stays a narrow (nid, sig) table instead of ~4× the corpus in
-        # the object store, and verifiers recompute shingles from the
-        # shuffle-attached text instead.
+    # the sorted-unique shingle sets ride along so the verifier's
+    # exact-Jaccard kernel never recomputes them per actor (that
+    # duplicated work is CPU-count-independent and kills scaling).
+    # ``with_shingles=False`` (the big-side / shuffle-attach mode)
+    # skips this ~4 bytes/char payload: the signature dataset then
+    # stays a narrow (nid, sig) table instead of ~4× the corpus in
+    # the object store, and verifiers recompute shingles from the
+    # shuffle-attached text instead.
     if with_shingles:
         flat = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
         # shingle hashes are 32-bit values (hashing.char_shingle_hashes
@@ -192,7 +224,7 @@ def minhash_band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.D
 
 
 def _bucket_pairs(
-    ids, max_bucket: int, channel: str, max_pairs: int = 1 << 62
+    ids, max_bucket: int, channel: int, max_pairs: int = 1 << 62
 ) -> pd.DataFrame:
     """Deterministic pair emission for one hot bucket: salted chunks of
     ``max_bucket``, a total pair budget of ``max_pairs``, chain links
@@ -216,7 +248,7 @@ def _bucket_pairs(
                 {
                     "src": pd.Series(dtype="uint64"),
                     "dst": pd.Series(dtype="uint64"),
-                    "channel": pd.Series(dtype=object),
+                    "channel": pd.Series(dtype="int8"),
                     "bucket_size": pd.Series(dtype="int32"),
                 }
             ),
@@ -248,7 +280,7 @@ def _bucket_pairs(
             {
                 "src": np.concatenate(src_parts),
                 "dst": np.concatenate(dst_parts),
-                "channel": channel,
+                "channel": np.int8(channel),
                 "bucket_size": np.int32(n),
             }
         ),
@@ -269,6 +301,7 @@ def candidate_pairs_from_buckets(
     emitted per band with numpy ``triu_indices``."""
     max_bucket = cfg.max_band_bucket
     max_pairs = cfg.max_pairs_per_bucket
+    code = channel_code(channel)
 
     def _pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized pair emission for all bands in one coarse bucket.
@@ -305,7 +338,7 @@ def candidate_pairs_from_buckets(
             if n > max_bucket:
                 for s in sel:
                     frame, dropped = _bucket_pairs(
-                        ids[s : s + n], max_bucket, channel, max_pairs
+                        ids[s : s + n], max_bucket, code, max_pairs
                     )
                     hot_frames.append(frame)
                     dropped_total += dropped
@@ -320,7 +353,7 @@ def candidate_pairs_from_buckets(
             {
                 "src": np.concatenate(src_parts) if src_parts else np.empty(0, dtype=np.uint64),
                 "dst": np.concatenate(dst_parts) if dst_parts else np.empty(0, dtype=np.uint64),
-                "channel": channel,
+                "channel": np.int8(code),
                 "bucket_size": np.concatenate(size_parts)
                 if size_parts
                 else np.empty(0, dtype=np.int32),
@@ -333,7 +366,7 @@ def candidate_pairs_from_buckets(
                     {
                         "src": np.zeros(1, dtype=np.uint64),
                         "dst": np.asarray([keys[0]], dtype=np.uint64),
-                        "channel": SKEW_CHANNEL,
+                        "channel": np.int8(CHANNEL_CODES[SKEW_CHANNEL]),
                         # int32 would overflow for quadratic drop counts;
                         # carry the exact value in a dedicated column
                         "bucket_size": np.int32(0),
@@ -359,7 +392,6 @@ def dedup_pairs(pairs: ray.data.Dataset, num_partitions: int = 64) -> ray.data.D
     a pair (same (src,dst) ⇒ same bucket), so no concatenated pair-key
     string is ever built; dedup is a vectorized two-column
     ``drop_duplicates`` per bucket."""
-    prio = {"exact": 0, "substring": 1, "minhash": 2, "simhash": 3}
 
     def _norm(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -385,13 +417,13 @@ def dedup_pairs(pairs: ray.data.Dataset, num_partitions: int = 64) -> ray.data.D
         return pa.table(cols)
 
     def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(_prio=df["channel"].map(prio).fillna(9))
-        # bucket_size in the sort key makes the surviving row
-        # deterministic under priority ties — otherwise it depends on
-        # partition layout and the dropped-pairs metric wobbles with P
-        df = df.sort_values(["src", "dst", "_prio", "bucket_size"], kind="mergesort")
-        df = df.drop_duplicates(subset=["src", "dst"], keep="first")
-        return df.drop(columns=["_prio"])
+        # channel CODES are the priority order (CHANNEL_CODES), so the
+        # raw column sorts directly; bucket_size in the sort key makes
+        # the surviving row deterministic under priority ties —
+        # otherwise it depends on partition layout and the
+        # dropped-pairs metric wobbles with P
+        df = df.sort_values(["src", "dst", "channel", "bucket_size"], kind="mergesort")
+        return df.drop_duplicates(subset=["src", "dst"], keep="first")
 
     normed = pairs.map_batches(_norm, batch_format="pyarrow")
     return bucketed_group_apply(normed, "src", _dedup_bucket, num_partitions)

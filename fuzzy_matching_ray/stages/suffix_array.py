@@ -110,7 +110,7 @@ def _substring_pairs_bucket(
     plus one ``__skew`` sentinel when the char/pair budgets dropped
     anything."""
     from fuzzy_matching_ray.hashing import hash64_str, nid_of
-    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+    from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
 
     # deterministic inclusion order (bucket arrival order depends on
     # shuffle scheduling): sort docs by conv_id before applying the
@@ -152,7 +152,7 @@ def _substring_pairs_bucket(
                 "dst": np.asarray(
                     [hash64_str("substr:" + (ids[0] if ids else ""))], dtype=np.uint64
                 ),
-                "channel": SKEW_CHANNEL,
+                "channel": np.int8(CHANNEL_CODES[SKEW_CHANNEL]),
                 "bucket_size": np.int32(0),
                 "dropped": np.int64(dropped),
             }
@@ -163,7 +163,7 @@ def _substring_pairs_bucket(
         {
             "src": pd.Series(dtype="uint64"),
             "dst": pd.Series(dtype="uint64"),
-            "channel": pd.Series(dtype=object),
+            "channel": pd.Series(dtype="int8"),
             "bucket_size": pd.Series(dtype="int32"),
             "dropped": pd.Series(dtype="int64"),
         }
@@ -194,7 +194,7 @@ def _substring_pairs_bucket(
             {
                 "src": pairs[:, 0].astype(np.uint64),
                 "dst": pairs[:, 1].astype(np.uint64),
-                "channel": "substring",
+                "channel": np.int8(CHANNEL_CODES["substring"]),
                 "bucket_size": np.int32(included),
                 "dropped": np.int64(0),
             }

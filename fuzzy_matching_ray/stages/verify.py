@@ -35,6 +35,9 @@ _EDIT_PREFIX_CAP = 2048  # chars of text used for the edit-similarity gate
 # metric sentinel rows emitted by VerifierPool (one per batch) carrying
 # the estimate-gate skip count in edit_sim; never become edges
 GATE_CHANNEL = "__gate"
+# __gate's int8 code in the pair stream (see minhash.CHANNEL_CODES);
+# final edges decode back to the string name
+GATE_CODE = 5
 
 
 def _as_arrow(batch) -> pa.Table:
@@ -594,7 +597,7 @@ class VerifierPool:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+        from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
 
         def _np(col):
             if isinstance(col, pa.ChunkedArray):
@@ -608,9 +611,9 @@ class VerifierPool:
         # millions of per-pair Python strings via to_pylist dominated
         # the scoring loop
         chan_col = batch["channel"]
-        is_skew = _np(pc.equal(chan_col, SKEW_CHANNEL))
-        is_exact = _np(pc.equal(chan_col, "exact"))
-        is_substr = _np(pc.equal(chan_col, "substring"))
+        is_skew = _np(pc.equal(chan_col, CHANNEL_CODES[SKEW_CHANNEL]))
+        is_exact = _np(pc.equal(chan_col, CHANNEL_CODES["exact"]))
+        is_substr = _np(pc.equal(chan_col, CHANNEL_CODES["substring"]))
         src_texts = batch["src_text"].to_pylist() if "src_text" in batch.column_names else [None] * n
         dst_texts = batch["dst_text"].to_pylist() if "dst_text" in batch.column_names else [None] * n
 
@@ -789,7 +792,7 @@ class VerifierPool:
                 {
                     "src": pa.array([0], pa.uint64()),
                     "dst": pa.array([0], pa.uint64()),
-                    "channel": pa.array([GATE_CHANNEL], pa.string()),
+                    "channel": pa.array([GATE_CODE], pa.int8()),
                     "jaccard": pa.array([-1.0], pa.float64()),
                     "edit_sim": pa.array([float(gate_skips)], pa.float64()),
                 }
@@ -897,15 +900,22 @@ def verify_pairs(
         if edit_thr > 0:
             mask = pc.or_(mask, pc.greater_equal(batch["edit_sim"], edit_thr))
         if emit_gate:
-            mask = pc.or_(mask, pc.equal(batch["channel"], GATE_CHANNEL))
+            mask = pc.or_(mask, pc.equal(batch["channel"], GATE_CODE))
         out = batch.filter(mask)
         score = pc.max_element_wise(out["jaccard"], out["edit_sim"])
+        # codes → names here, on the post-filter (small) edge set only
+        from fuzzy_matching_ray.stages.minhash import decode_channels
+
+        chan = out["channel"]
+        if isinstance(chan, pa.ChunkedArray):
+            chan = chan.combine_chunks()
+        names = decode_channels(chan.to_numpy(zero_copy_only=False))
         return pa.table(
             {
                 "src": out["src"],
                 "dst": out["dst"],
                 "score": score,
-                "channel": out["channel"],
+                "channel": pa.array(names, pa.string()),
             }
         )
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
+from fuzzy_matching_ray.stages.minhash import channel_code
 from fuzzy_matching_ray.config import PipelineConfig
 
 
@@ -61,7 +62,7 @@ def test_edges_to_conv_ids_bucketed_matches_broadcast(ray_session, tiny_transcri
                 "src": pa.array(nids[:20], pa.uint64()),
                 "dst": pa.array(nids[20:40], pa.uint64()),
                 "score": pa.array([1.0] * 20, pa.float64()),
-                "channel": pa.array(["minhash"] * 20, pa.string()),
+                "channel": pa.array([channel_code("minhash")] * 20, pa.int8()),
             }
         )
     )
@@ -101,7 +102,7 @@ def test_edges_to_conv_ids_raises_on_unknown_nid(ray_session, tiny_transcripts):
                 "src": pa.array([12345], pa.uint64()),
                 "dst": pa.array([67890], pa.uint64()),
                 "score": pa.array([1.0], pa.float64()),
-                "channel": pa.array(["minhash"], pa.string()),
+                "channel": pa.array([channel_code("minhash")], pa.int8()),
             }
         )
     )

@@ -9,6 +9,7 @@ import pytest
 import ray.data as rd
 
 from fuzzy_matching_ray.config import PipelineConfig
+from fuzzy_matching_ray.stages.minhash import channel_code
 from fuzzy_matching_ray.stages.channels import (
     get_channel,
     register_channel,
@@ -38,7 +39,7 @@ def test_custom_channel_plugs_into_pipeline(ray_session, tiny_transcripts):
                 {
                     "src": pa.array(nids[:1], pa.uint64()),
                     "dst": pa.array(nids[-1:], pa.uint64()),
-                    "channel": pa.array(["_test_first_last"], pa.string()),
+                    "channel": pa.array([channel_code("_test_first_last")], pa.int8()),
                     "bucket_size": pa.array([2], pa.int32()),
                     "dropped": pa.array([0], pa.int64()),
                 }

@@ -100,10 +100,10 @@ def test_hot_band_salting():
     # 1,000-doc identical-boilerplate bucket must not emit C(1000,2)
     # pairs, yet must stay one connected component (salted chunks are
     # chained through the bucket's min id)
-    from fuzzy_matching_ray.stages.minhash import _bucket_pairs
+    from fuzzy_matching_ray.stages.minhash import _bucket_pairs, channel_code
 
     ids = np.arange(5000, 6000, dtype=np.uint64)  # 1000 node ids
-    df, _dropped = _bucket_pairs(ids, max_bucket=64, channel="minhash")
+    df, _dropped = _bucket_pairs(ids, max_bucket=64, channel=channel_code("minhash"))
     assert len(df) < 1000 * 999 // 2 / 10  # far fewer than all-pairs
     assert (df.bucket_size == 1000).all()
 

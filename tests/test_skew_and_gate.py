@@ -9,13 +9,13 @@ import pyarrow as pa
 import ray.data as rd
 
 from fuzzy_matching_ray.config import PipelineConfig
-from fuzzy_matching_ray.stages.minhash import _bucket_pairs
+from fuzzy_matching_ray.stages.minhash import channel_code, _bucket_pairs
 from fuzzy_matching_ray.cli import parse_match_fields, parse_name_fields
 
 
 def test_bucket_pair_budget_and_chain_links():
     ids = np.arange(1000, 1300, dtype=np.uint64)  # 300 node ids
-    out, dropped = _bucket_pairs(ids, max_bucket=64, channel="minhash", max_pairs=2016)
+    out, dropped = _bucket_pairs(ids, max_bucket=64, channel=channel_code("minhash"), max_pairs=2016)
     # first chunk emits C(64,2)=2016 cross pairs; the remaining 4 chunks
     # contribute exactly one chain link each
     cross = len(out) - 4
@@ -30,7 +30,7 @@ def test_bucket_pair_budget_and_chain_links():
 
 def test_bucket_pairs_unbudgeted_full():
     ids = np.arange(10, dtype=np.uint64)
-    out, dropped = _bucket_pairs(ids, max_bucket=64, channel="minhash")
+    out, dropped = _bucket_pairs(ids, max_bucket=64, channel=channel_code("minhash"))
     assert len(out) == 45  # C(10,2), no chunking below max_bucket
     assert dropped == 0
 
@@ -111,10 +111,10 @@ def test_skew_sentinels_flow_and_exact_drop_metric(ray_session):
     # pairs too → dropped = C(100,2) - 28 - 12
     assert dropped == 100 * 99 // 2 - 28 - 12
     df = pairs.to_pandas()
-    skew = df[df.channel == SKEW_CHANNEL]
+    skew = df[df.channel == channel_code(SKEW_CHANNEL)]
     assert len(skew) == 1 and int(skew.dropped.iloc[0]) == dropped
     # real pairs: 28 cross + 12 chain links; the small band's C(3,2)=3
     # pairs duplicate mega-band first-chunk pairs and are deduped away
-    real = df[df.channel != SKEW_CHANNEL]
+    real = df[df.channel != channel_code(SKEW_CHANNEL)]
     assert (real.dropped == 0).all()
     assert len(real) == 28 + 12

@@ -7,6 +7,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from fuzzy_matching_ray.stages.minhash import channel_code
 from fuzzy_matching_ray.stages.suffix_array import (
     _substring_pairs_bucket,
     adjacent_lcp_at_least,
@@ -41,14 +42,14 @@ def test_substring_bucket_finds_shared_fragment():
     ids = ["a", "b", "c"]
     texts = ["start " + shared, shared + " ending", "completely different content here"]
     df = _substring_pairs_bucket(ids, texts, min_len=64, max_pairs=100)
-    real = df[df["channel"] == "substring"]
+    real = df[df["channel"] == channel_code("substring")]
     assert len(real) == 1
     assert int(df["dropped"].sum()) == 0
 
 
 def test_substring_char_budget_emits_skew_sentinel(monkeypatch):
     import fuzzy_matching_ray.stages.suffix_array as sa_mod
-    from fuzzy_matching_ray.stages.minhash import SKEW_CHANNEL
+    from fuzzy_matching_ray.stages.minhash import channel_code, SKEW_CHANNEL
 
     # budget admits only the first (sorted) two of four docs
     # (each doc = 144 chars + 1 sentinel)
@@ -57,9 +58,9 @@ def test_substring_char_budget_emits_skew_sentinel(monkeypatch):
     ids = ["d3", "d4", "d1", "d2"]
     texts = [shared + " tail3", shared + " tail4", shared + " tail1", shared + " tail2"]
     df = _substring_pairs_bucket(ids, texts, min_len=64, max_pairs=100)
-    skew = df[df["channel"] == SKEW_CHANNEL]
+    skew = df[df["channel"] == channel_code(SKEW_CHANNEL)]
     # C(4,2) - C(2,2)=1 → 5 cross pairs lost to the char budget
     assert len(skew) == 1 and int(skew["dropped"].iloc[0]) == 5
-    real = df[df["channel"] == "substring"]
+    real = df[df["channel"] == channel_code("substring")]
     # included docs are the conv_id-sorted prefix {d1, d2}
     assert len(real) == 1 and (real["bucket_size"] == 2).all()
