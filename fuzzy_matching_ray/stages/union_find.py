@@ -117,46 +117,56 @@ def connected_components(
 
     from fuzzy_matching_ray.stages.grouped import sized_partitions
 
+    if n_edges == 0:
+        # no edges → every node is its own cluster; no UF, no shuffle
+        return nodes.map_batches(
+            lambda b: pa.table({"conv_id": b["conv_id"], "cluster_id": b["conv_id"]}),
+            batch_format="pyarrow",
+        )
+
     if n_edges <= _SMALL_GRAPH_EDGES:
-        p = sized_partitions(num_partitions, n_edges)
         # coerce to one block type first: edges are a union of Arrow
         # (verify) and pandas (bucketed exact-dedup) blocks, which
         # repartition refuses to merge
+        from fuzzy_matching_ray.state import execmeter
+
+        execmeter.record("uf_roots")
         roots = (
             edges.select_columns(["src", "dst"])
             .map_batches(lambda b: b, batch_format="pyarrow")
             .repartition(1)
             .map_batches(_uf_edge_batch, batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
+        # label attach by BROADCAST, not shuffle: the root table is at
+        # most one row per edge endpoint (≤ _SMALL_GRAPH_EDGES·2, in
+        # practice a few % of the corpus), so shipping its single
+        # block ref to a stateless map over the node blocks replaces
+        # the old union+sort exchange — which cost ~7s of pure
+        # shuffle/barrier overhead for a 160k-row attach at
+        # scale72000.  pc.index_in's hash probe is type-generic
+        # (string conv_ids and int64 vec_ids alike).
+        roots_ref = next(
+            r for bundle in roots.iter_internal_ref_bundles() for r in bundle.block_refs
         )
 
-        def _node_rows(b: pa.Table) -> pa.Table:
+        def _attach(b: pa.Table, roots_ref=roots_ref) -> pa.Table:
+            import pyarrow.compute as pc
+            import ray as _ray
+
+            rt = _ray.get(roots_ref)
+            if isinstance(rt, pd.DataFrame):
+                rt = pa.Table.from_pandas(rt, preserve_index=False)
+            own = b["conv_id"]
+            if isinstance(own, pa.ChunkedArray):
+                own = own.combine_chunks()
+            idx = pc.index_in(own, value_set=rt["node"].combine_chunks())
+            lab = pc.take(rt["label"].combine_chunks(), idx)
             return pa.table(
-                {
-                    "node": b["conv_id"],
-                    "label": b["conv_id"],
-                    "pri": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-                }
+                {"conv_id": own, "cluster_id": pc.coalesce(lab, own)}
             )
 
-        def _root_rows(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": b["node"],
-                    "label": b["label"],
-                    "pri": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-                }
-            )
-
-        tagged = nodes.map_batches(_node_rows, batch_format="pyarrow").union(
-            roots.map_batches(_root_rows, batch_format="pyarrow")
-        )
-
-        def _pick(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(["node", "pri"], kind="mergesort")
-            df = df.drop_duplicates(subset=["node"], keep="first")
-            return pd.DataFrame({"conv_id": df["node"], "cluster_id": df["label"]})
-
-        return bucketed_group_apply(tagged, "node", _pick, p)
+        return nodes.map_batches(_attach, batch_format="pyarrow")
 
     # Verified edge sets are orders of magnitude smaller than the doc
     # corpus, so clamp the partition count to the data: oversized P
