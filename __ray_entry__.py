@@ -488,6 +488,36 @@ def _q_events_range_join(sf_dir: str):
     )
 
 
+def _q_events_quantiles(sf_dir: str):
+    from fuzzy_matching_ray.extras.relational import grouped_quantiles
+
+    return grouped_quantiles(
+        _read(sf_dir, "events").select_columns(["event_type", "value"]),
+        key="event_type",
+        val="value",
+    )
+
+
+_BM25_TERMS = ("hash", "join", "merge")
+
+
+def _q_bm25_search(sf_dir: str):
+    """Ranked keyword search (log-free BM25 — extras/search.py) for a
+    fixed 3-term query; scores are engine-exact by construction."""
+    from fuzzy_matching_ray.extras.search import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        terms=_BM25_TERMS,
+    )
+
+
+def _q_pack_sequences(sf_dir: str):
+    from fuzzy_matching_ray.extras.packing import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -610,6 +640,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk_per_cust": _q_orders_topk_per_cust,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
+        "events_quantiles": _q_events_quantiles,
+        "bm25_search": _q_bm25_search,
+        "pack_sequences": _q_pack_sequences,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -633,6 +666,12 @@ FIXTURE_ORACLE_QUERIES = frozenset(
         "transliterate_persons",
     }
 )
+
+
+def _bm25_oracle() -> str:
+    from fuzzy_matching_ray.extras.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -875,6 +914,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.event_id AS event_id, b.event_id AS prior_event_id "
             "FROM events a JOIN events b ON a.user_id = b.user_id "
             "AND b.ts >= a.ts - INTERVAL 3600 SECOND AND b.ts < a.ts"
+        ),
+        "events_quantiles": (
+            # discrete quantiles are member values, so doubles compare
+            # exactly between engines
+            "SELECT event_type, quantile_disc(value, 0.25) AS p25, "
+            "quantile_disc(value, 0.5) AS p50, "
+            "quantile_disc(value, 0.9) AS p90, count(*)::BIGINT AS n "
+            "FROM events GROUP BY event_type"
+        ),
+        "bm25_search": _bm25_oracle(),
+        "pack_sequences": (
+            # GPT-style concat-and-chunk layout, shard-local: window
+            # cumsum per shard, integer-exact
+            "WITH t AS (SELECT doc_id, doc_id % 64 AS shard, "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n "
+            "FROM documents), "
+            "c AS (SELECT doc_id, shard, n, "
+            "coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS seq_start "
+            "FROM t) "
+            "SELECT doc_id, shard, seq_start, seq_start // 512 AS pack_first, "
+            "CASE WHEN n > 0 THEN (seq_start + n - 1) // 512 "
+            "ELSE seq_start // 512 END AS pack_last FROM c"
         ),
         "curate_documents": (
             # the full composition: quality filter (>=10 ws tokens,

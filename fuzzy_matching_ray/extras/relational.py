@@ -354,6 +354,58 @@ def range_join(
     return bucketed_group_apply(rows, "key", _join, num_partitions)
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    val: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    out_names: tuple[str, ...] = ("p25", "p50", "p90"),
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group exact DISCRETE quantiles (``quantile_disc`` /
+    ``percentile_disc`` semantics: the element at rank ``ceil(q·n)``
+    of the sorted group) plus the group count — float-exact, because
+    the output is an actual member value, never an interpolation, so
+    the SQL oracle hashes identically.
+
+    One shuffle co-partitions groups by ``hash(key) % P``; the bucket
+    kernel is one global sort + vectorized per-group rank picks (no
+    per-group Python).  A single group too large for one bucket would
+    need distributed selection (sample → count → refine) — out of
+    scope; groups here are event types / categories, i.e. many groups
+    of moderate size."""
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b[key].cast(pa.string()), "val": b[val].cast(pa.float64())})
+
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def _quant(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            cols = {key: pd.Series(dtype=object)}
+            for nm in out_names:
+                cols[nm] = pd.Series(dtype="float64")
+            cols["n"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        df = df.sort_values(["key", "val"], kind="mergesort")
+        keys = df["key"].to_numpy()
+        vals = df["val"].to_numpy()
+        newk = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(newk)
+        counts = np.diff(np.append(starts, len(df)))
+        # rank ceil(q*n) - 1 within each group, offset by group start
+        picks = starts[:, None] + np.ceil(qarr[None, :] * counts[:, None]).astype(np.int64) - 1
+        out = {key: keys[starts]}
+        for j, nm in enumerate(out_names):
+            out[nm] = vals[picks[:, j]]
+        out["n"] = counts.astype(np.int64)
+        return pd.DataFrame(out)
+
+    slim = ds.map_batches(_prep, batch_format="pyarrow")
+    return bucketed_group_apply(slim, "key", _quant, num_partitions)
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

@@ -1,0 +1,73 @@
+"""Grouped quantiles, BM25 search, and sequence packing semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fuzzy_matching_ray.extras.packing import pack_sequences
+from fuzzy_matching_ray.extras.relational import grouped_quantiles
+from fuzzy_matching_ray.extras.search import bm25_topk
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_matches_disc_definition():
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = [
+        {"k": f"g{i % 3}", "v": float(x)}
+        for i, x in enumerate(rng.integers(0, 1000, size=400))
+    ]
+    out = (
+        grouped_quantiles(rd.from_items(rows), key="k", val="v", num_partitions=4)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    df = pd.DataFrame(rows)
+    for g, sub in df.groupby("k"):
+        vals = np.sort(sub["v"].to_numpy())
+        n = vals.size
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            expect = vals[int(np.ceil(q * n)) - 1]
+            assert out.loc[g, col] == expect, (g, col)
+        assert out.loc[g, "n"] == n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_ranks_term_dense_doc_first():
+    rows = [
+        {"doc_id": 1, "text": "hash join hash join hash"},
+        {"doc_id": 2, "text": "merge sort only here"},
+        {"doc_id": 3, "text": "nothing relevant at all whatsoever"},
+        {"doc_id": 4, "text": "hash once amid much other unrelated text padding tokens"},
+    ]
+    out = bm25_topk(rd.from_items(rows), terms=("hash", "join"), k=3)
+    assert out["doc_id"].tolist()[0] == 1
+    assert 3 not in out["doc_id"].tolist()
+    # deterministic: same input -> identical frame
+    out2 = bm25_topk(rd.from_items(rows), terms=("hash", "join"), k=3)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_concat_and_chunk_layout():
+    # shard 0 (doc_ids all % 64 distinct -> use ids within one shard)
+    rows = [
+        {"doc_id": 0, "text": " ".join(["w"] * 300)},   # [0, 300)
+        {"doc_id": 64, "text": " ".join(["w"] * 300)},  # [300, 600) straddles 512
+        {"doc_id": 128, "text": ""},                     # empty at 600
+        {"doc_id": 192, "text": " ".join(["w"] * 500)},  # [600, 1100)
+        {"doc_id": 1, "text": " ".join(["w"] * 10)},     # other shard restarts at 0
+    ]
+    out = (
+        pack_sequences(rd.from_items(rows), budget=512, num_shards=64, num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, ["seq_start", "pack_first", "pack_last"]].tolist() == [0, 0, 0]
+    assert out.loc[64, ["seq_start", "pack_first", "pack_last"]].tolist() == [300, 0, 1]
+    assert out.loc[128, ["seq_start", "pack_first", "pack_last"]].tolist() == [600, 1, 1]
+    assert out.loc[192, ["seq_start", "pack_first", "pack_last"]].tolist() == [600, 1, 2]
+    assert out.loc[1, ["seq_start", "pack_first", "pack_last"]].tolist() == [0, 0, 0]
