@@ -518,6 +518,15 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """Frame sampling over the fake-codec media column — the video
+    explode shape (one row in, many frame rows out)."""
+    from fuzzy_matching_ray.extras.multimodal import frame_sample_media, text_to_fake_binary
+
+    media = text_to_fake_binary(_read(sf_dir, "documents"))
+    return frame_sample_media(media)
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -643,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "bm25_search": _q_bm25_search,
         "pack_sequences": _q_pack_sequences,
+        "multimodal_frames": _q_multimodal_frames,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -924,6 +934,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "bm25_search": _bm25_oracle(),
+        "multimodal_frames": (
+            # frame math over the fake codec: payload = utf8 bytes of
+            # text, frames of 256 bytes, every 4th kept
+            "WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS plen "
+            "FROM documents), "
+            "f AS (SELECT doc_id, plen, "
+            "unnest(range(0, ((plen + 255) // 256)::BIGINT, 4)) AS frame_idx FROM m "
+            "WHERE plen > 0) "
+            "SELECT doc_id, frame_idx, "
+            "least(256, plen - frame_idx * 256)::BIGINT AS frame_len FROM f"
+        ),
         "pack_sequences": (
             # GPT-style concat-and-chunk layout, shard-local: window
             # cumsum per shard, integer-exact

@@ -115,3 +115,96 @@ def decode_media(
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+class MediaResizeStage:
+    """Actor-pool binary-in/binary-out resize.  For the fake codec,
+    "resizing" to ``(w, h)`` rewrites the header and keeps every
+    ``k``-th payload byte (k = max(1, old_area // new_area)) — a
+    deterministic stand-in for a real scaler, with the same Ray shape:
+    per-actor codec state, small batches, binary columns in and out.
+    Real formats raise ``NotImplementedError`` (no codec libs in this
+    container)."""
+
+    def __init__(self, width: int, height: int, allow_fake: bool = True):
+        self.width = width
+        self.height = height
+        self.allow_fake = allow_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob, mt in zip(
+            batch["media"].to_pylist(), batch["media_type"].to_pylist()
+        ):
+            if not (self.allow_fake and blob[:4] == _MAGIC):
+                raise NotImplementedError(
+                    f"no codec for {mt!r} in this container (brief: decode stubbed)"
+                )
+            w, h = struct.unpack("<HH", blob[4:8])
+            payload = blob[8:]
+            k = max(1, (w * h) // max(1, self.width * self.height))
+            out.append(encode_fake_image(self.width, self.height, payload[::k]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media": pa.array(out, pa.binary()),
+                "media_type": batch["media_type"],
+            }
+        )
+
+
+def resize_media(
+    ds: ray.data.Dataset,
+    *,
+    width: int,
+    height: int,
+    batch_size: int = 64,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaResizeStage,
+        fn_constructor_args=(width, height),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def frame_sample_media(
+    ds: ray.data.Dataset,
+    *,
+    frame_bytes: int = 256,
+    stride: int = 4,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Frame sampling: treat the payload as consecutive
+    ``frame_bytes`` frames and keep every ``stride``-th one, emitting
+    one row per sampled frame ``(doc_id, frame_idx, frame_len)`` —
+    the video-pipeline explode shape (one input row → many output
+    rows, binary-sliced).  Integer outputs only, so the DuckDB oracle
+    (frame math over ``octet_length``) hashes identically; the frame
+    payload itself stays binary and is exercised in pytest."""
+
+    def _frames(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        blobs = batch["media"].to_pylist()
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_len: list[int] = []
+        for i, blob in zip(ids, blobs):
+            payload_len = len(blob) - 8
+            n_frames = (payload_len + frame_bytes - 1) // frame_bytes
+            for f in range(0, n_frames, stride):
+                out_id.append(i)
+                out_idx.append(f)
+                out_len.append(min(frame_bytes, payload_len - f * frame_bytes))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "frame_len": pa.array(out_len, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_frames, batch_format="pyarrow", batch_size=batch_size)

@@ -71,3 +71,29 @@ def test_pack_sequences_concat_and_chunk_layout():
     assert out.loc[128, ["seq_start", "pack_first", "pack_last"]].tolist() == [600, 1, 1]
     assert out.loc[192, ["seq_start", "pack_first", "pack_last"]].tolist() == [600, 1, 2]
     assert out.loc[1, ["seq_start", "pack_first", "pack_last"]].tolist() == [0, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_resize_and_frame_sample():
+    from fuzzy_matching_ray.extras.multimodal import (
+        frame_sample_media,
+        resize_media,
+        text_to_fake_binary,
+    )
+
+    rows = [{"doc_id": 1, "text": "x" * 2000}, {"doc_id": 2, "text": "y" * 100}]
+    media = text_to_fake_binary(rd.from_items(rows))
+    rs = resize_media(media, width=10, height=10).to_pandas().set_index("doc_id")
+    blob = rs.loc[1, "media"]
+    import struct
+
+    assert blob[:4] == b"FMRB" and struct.unpack("<HH", blob[4:8]) == (10, 10)
+    assert len(blob) < 2008  # payload subsampled
+
+    fr = frame_sample_media(media, frame_bytes=256, stride=4).to_pandas()
+    f1 = fr[fr.doc_id == 1]
+    # 2000 bytes -> 8 frames -> sampled idx 0 and 4
+    assert f1["frame_idx"].tolist() == [0, 4]
+    assert f1["frame_len"].tolist() == [256, 256]
+    f2 = fr[fr.doc_id == 2]
+    assert f2["frame_idx"].tolist() == [0] and f2["frame_len"].tolist() == [100]
