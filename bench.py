@@ -64,7 +64,10 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
     runs = []
     for _ in range(2):
         t0 = time.time()
-        res = dedup_transcripts(rd.read_parquet(turns_dir), entrymod._pipeline_cfg())
+        res = dedup_transcripts(
+            rd.read_parquet(turns_dir, override_num_blocks=max(16, 2 * num_cpus)),
+            entrymod._pipeline_cfg(),
+        )
         n_clusters = res.representatives.count()
         runs.append(round(time.time() - t0, 3))
     dedup_sec = min(runs)
@@ -121,7 +124,13 @@ def _dedup_only(sf_dir: str, num_cpus: int) -> dict:
     turns_dir = entrymod._transcripts_dir(sf_dir)
     n_turns = rd.read_parquet(turns_dir).count()  # warm page cache, untimed
     t0 = time.time()
-    res = dedup_transcripts(rd.read_parquet(turns_dir), entrymod._pipeline_cfg())
+    # right-size read blocks: the default split shreds the 4-file input
+    # into ~200 tiny blocks and every pre-shuffle op pays per-task
+    # scheduling overhead proportional to block count
+    res = dedup_transcripts(
+        rd.read_parquet(turns_dir, override_num_blocks=max(16, 2 * num_cpus)),
+        entrymod._pipeline_cfg(),
+    )
     n_clusters = res.representatives.count()
     sec = time.time() - t0
     ray.shutdown()
