@@ -153,6 +153,58 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Composed curation (filter → dedup → sample) over a documents
+    Parquet file/dir; writes (doc_id, n_tokens) survivors."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.curate import curate_documents
+
+    out = curate_documents(
+        rd.read_parquet(args.input),
+        min_tokens=args.min_tokens,
+        lang=args.lang,
+        sample_hex=args.sample_hex,
+    )
+    out.write_parquet(args.output)
+    print(f"curated ids -> {args.output}")
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    """BM25 ranked keyword search over a documents Parquet file/dir."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.search import bm25_topk
+
+    res = bm25_topk(
+        rd.read_parquet(args.input),
+        terms=tuple(args.query.split()),
+        k=args.top_k,
+    )
+    print(res.to_string(index=False))
+    return 0
+
+
+def cmd_pack(args: argparse.Namespace) -> int:
+    """Concat-and-chunk sequence packing over a documents Parquet."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.packing import pack_sequences
+
+    out = pack_sequences(
+        rd.read_parquet(args.input),
+        budget=args.budget,
+        num_shards=args.num_shards,
+    )
+    out.write_parquet(args.output)
+    print(f"pack layout -> {args.output}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fuzzy_matching_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -205,6 +257,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="verify payload path (shuffle = beyond-broadcast scale)")
     d.add_argument("--num-partitions", type=int, default=16)
     d.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("curate", help="filter+dedup+sample documents for training")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--min-tokens", type=int, default=10)
+    c.add_argument("--lang", default="en")
+    c.add_argument("--sample-hex", default="aa")
+    c.set_defaults(fn=cmd_curate)
+
+    s = sub.add_parser("search", help="BM25 ranked keyword search")
+    s.add_argument("--input", required=True)
+    s.add_argument("--query", required=True, help="space-separated terms")
+    s.add_argument("--top-k", type=int, default=20)
+    s.set_defaults(fn=cmd_search)
+
+    pk = sub.add_parser("pack", help="concat-and-chunk sequence packing layout")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--budget", type=int, default=512)
+    pk.add_argument("--num-shards", type=int, default=64)
+    pk.set_defaults(fn=cmd_pack)
     return p
 
 
