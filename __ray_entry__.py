@@ -527,6 +527,29 @@ def _q_multimodal_frames(sf_dir: str):
     return frame_sample_media(media)
 
 
+def _q_token_heavy_hitters(sf_dir: str):
+    """Exact global heavy hitters with map-side partial counts (the
+    exchange carries distinct-tokens-per-batch, never occurrences)."""
+    from fuzzy_matching_ray.extras.aggregates import token_heavy_hitters
+
+    return token_heavy_hitters(
+        _read(sf_dir, "documents").select_columns(["text"]), min_count=100
+    )
+
+
+def _q_approx_ndistinct(sf_dir: str):
+    """HLL distinct-user estimate per event type.  Rows-only by
+    contract (a sketch estimate has no SQL-exact mirror); accuracy is
+    gated in pytest (<8% relative error vs exact)."""
+    from fuzzy_matching_ray.extras.aggregates import approx_ndistinct
+
+    return approx_ndistinct(
+        _read(sf_dir, "events").select_columns(["event_type", "user_id"]),
+        key_col="event_type",
+        val_col="user_id",
+    )
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -653,6 +676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "pack_sequences": _q_pack_sequences,
         "multimodal_frames": _q_multimodal_frames,
+        "token_heavy_hitters": _q_token_heavy_hitters,
+        # HLL sketch — rows-only by contract (pytest error gate)
+        "approx_ndistinct_events": _q_approx_ndistinct,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -934,6 +960,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "bm25_search": _bm25_oracle(),
+        "token_heavy_hitters": (
+            "WITH t AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token "
+            "FROM documents) "
+            "SELECT token, count(*)::BIGINT AS n FROM t "
+            "GROUP BY token HAVING count(*) >= 100"
+        ),
         "multimodal_frames": (
             # frame math over the fake codec: payload = utf8 bytes of
             # text, frames of 256 bytes, every 4th kept

@@ -1,0 +1,119 @@
+"""Aggregation operators built on map-side partial combining.
+
+``token_heavy_hitters`` — EXACT global token frequencies above a
+threshold.  The scale pattern is the point: each batch pre-aggregates
+its own token counts (``value_counts``), so the all-to-all exchange
+carries one row per *distinct token per batch* instead of one row per
+token occurrence — on natural-language data that's a 10-100×
+reduction before the only shuffle.  The final per-bucket sum and the
+``HAVING``-style filter are exact, so the DuckDB oracle hashes
+identically.
+
+``approx_ndistinct`` — per-group distinct-count estimate via a
+HyperLogLog sketch (Flajolet et al. 2007).  Per-batch sketches merge
+associatively (register-wise max), so the exchange carries one
+``2^p``-byte sketch per (group, batch) — constant per group, never
+the values.  Approximate by construction: verified by a pytest
+relative-error gate against the exact count, not a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+
+def token_heavy_hitters(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    min_count: int = 100,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact ``(token, n)`` for whitespace-lowered tokens with global
+    count ≥ ``min_count``."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").astype(str).str.lower().str.split().explode()
+        vc = toks[toks.notna() & (toks != "")].value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)})
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum()
+        g = g[g >= min_count]
+        return pd.DataFrame({"token": g.index.to_numpy(dtype=object), "n": g.to_numpy(np.int64)})
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return bucketed_group_apply(partial, "token", _final, num_partitions)
+
+
+_HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def _hll_sketch(hashes: np.ndarray) -> np.ndarray:
+    """Register array (uint8[2^p]) for a batch of uint64 hashes."""
+    regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = hashes << np.uint64(_HLL_P)
+    # rank = position of the leftmost 1 bit in the remaining 64-p bits
+    # (computed vectorized via the float64 exponent of the value)
+    nz = rest != 0
+    rank = np.full(hashes.size, 64 - _HLL_P + 1, dtype=np.uint8)
+    # log2 via float conversion locates the leading bit; clip to ≥1
+    # (values within 2^11 of 2^64 can round up to 2^64 in float64)
+    rank[nz] = np.maximum(
+        64 - np.floor(np.log2(rest[nz].astype(np.float64))), 1.0
+    ).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(regs.size)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
+def approx_ndistinct(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    val_col: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-``key_col`` HyperLogLog estimate of distinct ``val_col``
+    values: ``(key, ndv_est)``."""
+    from fuzzy_matching_ray.hashing import hash64_str
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, sub in batch.groupby(key_col, sort=False):
+            vals = sub[val_col].astype(str).to_numpy(dtype=object)
+            hashes = np.fromiter(
+                (hash64_str(v) for v in vals), dtype=np.uint64, count=vals.size
+            )
+            rows.append({"key": k, "sketch": _hll_sketch(hashes).tobytes()})
+        return pd.DataFrame(rows, columns=["key", "sketch"])
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_e = [], []
+        for k, sub in df.groupby("key", sort=False):
+            regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+            for blob in sub["sketch"]:
+                np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+            out_k.append(k)
+            out_e.append(_hll_estimate(regs))
+        return pd.DataFrame({key_col: out_k, "ndv_est": np.asarray(out_e, np.float64)})
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return bucketed_group_apply(partial, "key", _final, num_partitions)

@@ -97,3 +97,28 @@ def test_multimodal_resize_and_frame_sample():
     assert f1["frame_len"].tolist() == [256, 256]
     f2 = fr[fr.doc_id == 2]
     assert f2["frame_idx"].tolist() == [0] and f2["frame_len"].tolist() == [100]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_approx_ndistinct_within_error():
+    from fuzzy_matching_ray.extras.aggregates import approx_ndistinct
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = []
+    truth = {"a": 5000, "b": 700, "c": 12}
+    for k, ndv in truth.items():
+        vals = rng.integers(0, ndv, size=ndv * 3)  # repeats; ndv distinct-ish
+        for v in vals:
+            rows.append({"grp": k, "val": f"{k}-{v}"})
+    out = (
+        approx_ndistinct(rd.from_items(rows), key_col="grp", val_col="val", num_partitions=4)
+        .to_pandas()
+        .set_index("grp")["ndv_est"]
+    )
+    import pandas as pd_
+
+    df = pd_.DataFrame(rows)
+    for k in truth:
+        exact = df[df.grp == k]["val"].nunique()
+        rel = abs(out[k] - exact) / exact
+        assert rel < 0.08, (k, out[k], exact)
