@@ -550,6 +550,23 @@ def _q_approx_ndistinct(sf_dir: str):
     )
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental mode: even doc_ids are the already-deduped base,
+    odd doc_ids are the new batch; base×base pairs are culled before
+    verification."""
+    from fuzzy_matching_ray.extras.doc_dedup import incremental_dedup_pairs
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _parity(batch, odd: bool):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids % 2 == 1) == odd))
+
+    base = docs.map_batches(lambda b: _parity(b, False), batch_format="pyarrow")
+    new = docs.map_batches(lambda b: _parity(b, True), batch_format="pyarrow")
+    return incremental_dedup_pairs(new, base)
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -679,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heavy_hitters": _q_token_heavy_hitters,
         # HLL sketch — rows-only by contract (pytest error gate)
         "approx_ndistinct_events": _q_approx_ndistinct,
+        "incremental_dedup_pairs": _q_incremental_dedup,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -960,6 +978,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "bm25_search": _bm25_oracle(),
+        "incremental_dedup_pairs": (
+            # brute-force mirror of the incremental contract: exact
+            # 5-shingle Jaccard >= 0.7 over canonicalized text, pairs
+            # where at least one id is odd (the "new" batch)
+            "WITH canon AS ("
+            "SELECT doc_id, doc_id::VARCHAR AS id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, id, CASE WHEN length(t) < 5 THEN [t] "
+            "ELSE list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i::INT, 5))) END AS s "
+            "FROM canon) "
+            "SELECT least(a.id, b.id) AS src, greatest(a.id, b.id) AS dst "
+            "FROM sh a JOIN sh b ON a.id < b.id "
+            "WHERE NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0) "
+            "AND len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7"
+        ),
         "token_heavy_hitters": (
             "WITH t AS (SELECT unnest(list_filter("
             "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token "

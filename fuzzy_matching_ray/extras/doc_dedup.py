@@ -441,3 +441,77 @@ def embedding_dedup_clusters(
         ),
         batch_format="pyarrow",
     )
+
+
+def incremental_dedup_pairs(
+    new_ds: ray.data.Dataset,
+    base_ds: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Incremental near-dup detection: accepted pairs touching at
+    least one NEW document — ``(src, dst)`` doc-id strings, sorted
+    within the pair.  The production ingestion mode: the base corpus
+    was deduplicated in a previous run, so base×base pairs are dropped
+    from the candidate stream BEFORE verification (they never reach
+    the exact-Jaccard kernel, which is where the money goes).
+
+    Base membership is a broadcast sorted-nid array (8 bytes/base
+    doc — ~800 MB at 10⁸ base docs; beyond that, swap the broadcast
+    probe for a bucketed anti-join on nid, same machinery as
+    `stages/verify.attach_texts_shuffle`).  Same acceptance semantics
+    as :func:`minhash_dedup_docs` (pure shingle-Jaccard, edit channel
+    off) so the DuckDB brute-force oracle applies."""
+    import ray as _ray
+
+    from fuzzy_matching_ray.hashing import nid_of
+    from fuzzy_matching_ray.stages.minhash import compute_signatures
+    from fuzzy_matching_ray.stages.verify import edges_to_conv_ids
+
+    cfg = cfg or PipelineConfig(num_partitions=8, edit_accept_threshold=0.0)
+    new_docs = canonicalize_documents(_as_conv(new_ds, id_col, text_col), cfg)
+    base_docs = canonicalize_documents(_as_conv(base_ds, id_col, text_col), cfg).materialize()
+    docs = new_docs.union(base_docs).materialize()
+    n = docs.count()
+
+    from fuzzy_matching_ray.stages.blocks import gather_column
+
+    base_nids = np.sort(nid_of(gather_column(base_docs, "conv_id")))
+    base_ref = _ray.put(base_nids)
+
+    sigs = compute_signatures(docs, cfg).materialize()
+    band_rows = minhash_band_rows(sigs, cfg)
+    pairs = dedup_pairs(
+        candidate_pairs_from_buckets(band_rows, cfg, "minhash", cfg.num_partitions),
+        cfg.num_partitions,
+    )
+
+    def _drop_base_base(b: pa.Table) -> pa.Table:
+        from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
+
+        base = _ray.get(base_ref)
+
+        def _member(x: np.ndarray) -> np.ndarray:
+            if base.size == 0:
+                return np.zeros(x.shape, dtype=bool)
+            idx = np.minimum(np.searchsorted(base, x), base.size - 1)
+            return base[idx] == x
+
+        in_src = _member(b["src"].to_numpy(zero_copy_only=False))
+        in_dst = _member(b["dst"].to_numpy(zero_copy_only=False))
+        chan = b["channel"].to_numpy(zero_copy_only=False)
+        keep = ~(in_src & in_dst) | (chan == CHANNEL_CODES[SKEW_CHANNEL])
+        return b.filter(pa.array(keep))
+
+    pairs = pairs.map_batches(_drop_base_base, batch_format="pyarrow")
+    edges = edges_to_conv_ids(verify_pairs(pairs, docs, cfg, doc_count=n, sigs=sigs), docs)
+
+    def _orient(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lo = pc.min_element_wise(b["src"], b["dst"])
+        hi = pc.max_element_wise(b["src"], b["dst"])
+        return pa.table({"src": lo, "dst": hi})
+
+    return edges.map_batches(_orient, batch_format="pyarrow")

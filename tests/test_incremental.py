@@ -1,0 +1,74 @@
+"""Incremental dedup: base×base candidate pairs are culled before
+verification; pairs touching at least one NEW doc survive."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from fuzzy_matching_ray.extras.doc_dedup import incremental_dedup_pairs
+
+_BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill and the rain taps gently on "
+    "the old tin roof of the farmhouse near the river bend"
+)
+_OTHER_TEXT = (
+    "completely different content about distributed systems and "
+    "arrow columnar batches streaming through an object store with "
+    "backpressure applied between pipeline stages at every block"
+)
+
+
+def _docs(rows):
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in rows])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_base_base_pairs_culled():
+    # base (even ids): 0 and 2 are near-identical — a pair the base
+    # run already found; new (odd ids): 1 is near 0/2, 3 and 5 are
+    # near each other, 7 matches nothing.
+    base = _docs([(0, _BASE_TEXT), (2, _BASE_TEXT + " extra tail words here")])
+    new = _docs(
+        [
+            (1, _BASE_TEXT + " one more clause"),
+            (3, _OTHER_TEXT),
+            (5, _OTHER_TEXT + " trailing addition"),
+            (7, "short unrelated snippet with nothing in common at all"),
+        ]
+    )
+    out = incremental_dedup_pairs(new, base).to_pandas()
+    got = {tuple(r) for r in out[["src", "dst"]].itertuples(index=False)}
+    assert ("0", "2") not in got, "base×base pair must be culled"
+    assert ("0", "1") in got and ("1", "2") in got
+    assert ("3", "5") in got
+    assert not any("7" in p for p in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_matches_full_run_minus_base_pairs():
+    # incremental(new, base) == full(new ∪ base) minus base×base pairs
+    rng = np.random.default_rng(7)
+    words = [f"w{i:03d}" for i in range(60)]
+    rows = []
+    for i in range(24):
+        base_words = list(rng.choice(words, size=40))
+        rows.append((i, " ".join(base_words)))
+        if i % 3 == 0:  # a distorted near-dup of i at id 100+i
+            dup = list(base_words)
+            dup[5] = "changed"
+            rows.append((100 + i, " ".join(dup)))
+    evens = [(i, t) for i, t in rows if i % 2 == 0]
+    odds = [(i, t) for i, t in rows if i % 2 == 1]
+
+    full = incremental_dedup_pairs(_docs(rows), _docs([])).to_pandas()
+    all_pairs = {tuple(r) for r in full[["src", "dst"]].itertuples(index=False)}
+    expected = {
+        (s, d) for s, d in all_pairs if int(s) % 2 == 1 or int(d) % 2 == 1
+    }
+
+    inc = incremental_dedup_pairs(_docs(odds), _docs(evens)).to_pandas()
+    got = {tuple(r) for r in inc[["src", "dst"]].itertuples(index=False)}
+    assert got == expected
