@@ -567,6 +567,71 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_dedup_pairs(new, base)
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII redaction over a deterministic PII-bearing column (the
+    synthetic documents carry no PII, so both sides synthesize the
+    SAME emails/phones/SSNs from doc_id before redacting — the
+    operator under test is the Arrow RE2 redaction kernel)."""
+    from fuzzy_matching_ray.extras.filtering import redact_pii
+
+    def _with_pii(batch):
+        df = batch
+        i = df["doc_id"]
+        df = df.copy()
+        df["text"] = (
+            df["text"]
+            + " Contact: user"
+            + i.astype(str)
+            + "@example.com, phone +1-"
+            + (100 + i % 900).astype(str)
+            + "-"
+            + (100 + (i * 7) % 900).astype(str)
+            + "-"
+            + (1000 + (i * 13) % 9000).astype(str)
+            + ", ssn "
+            + (100 + i % 900).astype(str)
+            + "-"
+            + (10 + i % 90).astype(str)
+            + "-"
+            + (1000 + (i * 3) % 9000).astype(str)
+            + "."
+        )
+        return df
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(_with_pii, batch_format="pandas")
+    )
+    return redact_pii(ds)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 23 == 0 act as
+    the held-out benchmark set; every other doc sharing any word
+    4-gram with it is flagged with its distinct-contaminated-gram
+    count.  Broadcast sorted-hash probe — the corpus side streams.
+    (Real decontamination uses 8-13-grams; the synthetic word-salad
+    docs are short enough that n=4 is the equivalent signal.)"""
+    from fuzzy_matching_ray.extras.filtering import decontaminate
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _split(batch, bench: bool):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids % 23 == 0) == bench))
+
+    bench = docs.map_batches(lambda b: _split(b, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda b: _split(b, False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=4)
+
+
+def _q_repetition_stats(sf_dir: str):
+    from fuzzy_matching_ray.extras.filtering import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -697,6 +762,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL sketch — rows-only by contract (pytest error gate)
         "approx_ndistinct_events": _q_approx_ndistinct,
         "incremental_dedup_pairs": _q_incremental_dedup,
+        "redact_pii_documents": _q_redact_pii,
+        "decontaminate_documents": _q_decontaminate,
+        "repetition_stats_documents": _q_repetition_stats,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -994,6 +1062,52 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0) "
             "AND len(list_intersect(a.s, b.s))::DOUBLE "
             "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7"
+        ),
+        "redact_pii_documents": (
+            "WITH p AS (SELECT doc_id, text || ' Contact: user' || doc_id "
+            "|| '@example.com, phone +1-' || (100 + doc_id % 900)::VARCHAR "
+            "|| '-' || (100 + (doc_id * 7) % 900)::VARCHAR "
+            "|| '-' || (1000 + (doc_id * 13) % 9000)::VARCHAR "
+            "|| ', ssn ' || (100 + doc_id % 900)::VARCHAR "
+            "|| '-' || (10 + doc_id % 90)::VARCHAR "
+            "|| '-' || (1000 + (doc_id * 3) % 9000)::VARCHAR || '.' AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), "
+            "'[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS text_redacted, "
+            "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email, "
+            "len(regexp_extract_all(t, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone, "
+            "len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))::BIGINT AS n_ssn "
+            "FROM p"
+        ),
+        "decontaminate_documents": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS g "
+            "FROM w WHERE len(w) >= 4), "
+            "b AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 23 = 0), "
+            "d AS (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 23 <> 0) "
+            "SELECT d.doc_id, count(*)::BIGINT AS n_contaminated "
+            "FROM d JOIN b USING (gram) GROUP BY d.doc_id"
+        ),
+        "repetition_stats_documents": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+            "i -> w[i] || ' ' || w[i+1])) AS gram FROM w WHERE len(w) >= 2), "
+            "c AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY doc_id, gram), "
+            "top AS (SELECT doc_id, gram, cnt, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM c) "
+            "SELECT w.doc_id, len(w.w)::BIGINT AS n_words, "
+            "len(list_distinct(w.w))::BIGINT AS n_distinct_words, "
+            "coalesce(t.gram, '') AS top_bigram, "
+            "coalesce(t.cnt, 0)::BIGINT AS top_bigram_count "
+            "FROM w LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)"
         ),
         "token_heavy_hitters": (
             "WITH t AS (SELECT unnest(list_filter("

@@ -1,0 +1,88 @@
+"""PII redaction, benchmark decontamination, repetition stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from fuzzy_matching_ray.extras.filtering import (
+    decontaminate,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def _docs(rows):
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in rows])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_redact_pii_patterns_and_counts():
+    out = (
+        redact_pii(
+            _docs(
+                [
+                    (1, "mail a.b+c@foo-bar.co.uk now, call +1-555-123-4567 twice"),
+                    (2, "ssn 123-45-6789 and 987-65-4321; no email here"),
+                    (3, "clean text with 1234-56-7890 (not an ssn: 4-digit prefix)"),
+                ]
+            )
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "text_redacted"] == "mail <EMAIL> now, call <PHONE> twice"
+    assert (out.loc[1, ["n_email", "n_phone", "n_ssn"]] == [1, 1, 0]).all()
+    assert out.loc[2, "text_redacted"] == "ssn <SSN> and <SSN>; no email here"
+    assert out.loc[2, "n_ssn"] == 2
+    # RE2 finds the leftmost-longest digit run: "234-56-7890" inside
+    # the 4-digit prefix still matches the unanchored SSN shape
+    assert out.loc[3, "n_ssn"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_flags_shared_ngrams():
+    bench = _docs([(0, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        [
+            (1, "intro words then the quick brown fox appears here"),  # 1 shared 4-gram
+            (2, "completely unrelated text about arrow record batches"),
+            (3, "quick brown fox jumps over and over again today"),  # 2 shared 4-grams
+        ]
+    )
+    out = decontaminate(corpus, bench, n=4).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 3]
+    assert out.loc[1, "n_contaminated"] == 1
+    assert out.loc[3, "n_contaminated"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_empty_bench():
+    corpus = _docs([(1, "some words in a row here")])
+    assert decontaminate(corpus, _docs([]), n=4).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_stats_counts_and_tiebreak():
+    out = (
+        repetition_stats(
+            _docs(
+                [
+                    (1, "a b a b a b"),  # "a b" x3, "b a" x2
+                    (2, "z y z y"),  # "z y" x2 beats "y z" x1
+                    (3, "solo"),  # <2 words
+                    (4, "x x y y"),  # all bigrams count 1 -> lexicographic min
+                ]
+            )
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out.loc[1, ["n_words", "n_distinct_words", "top_bigram_count"]] == [6, 2, 3]).all()
+    assert out.loc[1, "top_bigram"] == "a b"
+    assert out.loc[2, "top_bigram"] == "z y"
+    assert out.loc[3, "top_bigram"] == "" and out.loc[3, "top_bigram_count"] == 0
+    assert out.loc[4, "top_bigram"] == "x x"  # min among count-1 ties
