@@ -632,6 +632,20 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Domain mixing: per-language sampling rates (en 80%, de/fr 25%,
+    es 12.5%, everything else — zh here — 5%), content-addressed so
+    SQL reproduces membership exactly."""
+    from fuzzy_matching_ray.extras.relational import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang", "text"]),
+        group_col="lang",
+        rates={"en": "cc", "de": "40", "fr": "40", "es": "20"},
+        default_rate="0c",
+    )
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -765,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": _q_redact_pii,
         "decontaminate_documents": _q_decontaminate,
         "repetition_stats_documents": _q_repetition_stats,
+        "stratified_sample_documents": _q_stratified_sample,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -1093,6 +1108,12 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 23 <> 0) "
             "SELECT d.doc_id, count(*)::BIGINT AS n_contaminated "
             "FROM d JOIN b USING (gram) GROUP BY d.doc_id"
+        ),
+        "stratified_sample_documents": (
+            "SELECT doc_id, lang, text FROM documents "
+            "WHERE substr(md5(doc_id::VARCHAR), 1, 2) < "
+            "CASE lang WHEN 'en' THEN 'cc' WHEN 'de' THEN '40' "
+            "WHEN 'fr' THEN '40' WHEN 'es' THEN '20' ELSE '0c' END"
         ),
         "repetition_stats_documents": (
             "WITH w AS (SELECT doc_id, list_filter("

@@ -77,7 +77,9 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
     # secondary pipelines over the provided testdata tables
     for name in ("exact_dedup_documents", "token_count_documents", "ngram_jaccard_pairs",
                  "knn_bruteforce", "lineitem_agg", "events_hourly",
-                 "events_asof_orders", "events_rolling_window", "sample_documents"):
+                 "events_asof_orders", "events_rolling_window", "sample_documents",
+                 "redact_pii_documents", "decontaminate_documents",
+                 "repetition_stats_documents", "incremental_dedup_pairs"):
         fn = entrymod.queries()[name]
         t0 = time.time()
         out = fn(sf_dir)

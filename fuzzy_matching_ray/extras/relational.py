@@ -449,3 +449,40 @@ def hash_sample(
         return pa.table({c: b[c].filter(pa.array(keep)) for c in cols})
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str = "lang",
+    rates: dict[str, str] | None = None,
+    default_rate: str = "00",
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "lang", "text"),
+) -> ray.data.Dataset:
+    """Per-group deterministic sampling (domain mixing): keep rows
+    whose ``md5(str(id))`` hex prefix falls below the GROUP's
+    2-hex-char threshold — e.g. upsample `en` at 80% while keeping
+    `zh` at 12%.  Same content-addressed md5 contract as
+    :func:`hash_sample`, so membership is a pure function of
+    ``(id, group)``: stable across runs, partitionings and engines,
+    and reproducible in SQL as a ``CASE``-selected prefix compare.
+    A training-data mixer's core primitive: zero shuffles, streams."""
+    rates = rates or {}
+    import string
+
+    for t in (*rates.values(), default_rate):
+        if len(t) != 2 or any(ch not in string.digits + "abcdef" for ch in t):
+            raise ValueError(f"rates must be 2 lowercase hex chars, got {t!r}")
+
+    def _filter(b: pa.Table) -> pa.Table:
+        from fuzzy_matching_ray.hashing import md5_leading_byte
+
+        byte = md5_leading_byte(b[id_col].to_pylist())
+        groups = b[group_col].to_numpy(zero_copy_only=False)
+        thr = np.full(byte.size, int(default_rate, 16), dtype=np.int16)
+        for g, t in rates.items():
+            thr[groups == g] = int(t, 16)
+        keep = pa.array(byte < thr)
+        return pa.table({c: b[c].filter(keep) for c in cols})
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -180,3 +181,31 @@ def test_grouped_topk_partial_combiner_prunes(ray_session):
         .reset_index(drop=True)
     )
     assert out.v.tolist() == [9.0, 8.0] and out.rk.tolist() == [1, 2]
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.relational import stratified_sample
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "zh"][i % 2], "text": f"t{i}"} for i in range(400)
+    ]
+    ds = rd.from_items(rows)
+    out = stratified_sample(
+        ds, rates={"en": "cc"}, default_rate="0c"
+    ).to_pandas()
+    # membership is exactly the md5-prefix contract per group
+    for r in rows:
+        thr = "cc" if r["lang"] == "en" else "0c"
+        expect = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2] < thr
+        assert (r["doc_id"] in set(out.doc_id)) == expect
+    # en rate ~80%, zh rate ~5%
+    n_en = (out.lang == "en").sum()
+    n_zh = (out.lang == "zh").sum()
+    assert n_en > 120 and n_zh < 30
+
+    with pytest.raises(ValueError):
+        stratified_sample(ds, rates={"en": "ZZ"})
