@@ -632,6 +632,17 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def _q_validate_transcripts(sf_dir: str):
+    """Transcript integrity report over the turns table — the
+    pre-dedup hygiene pass (dup/gapped turn indices, role-alternation
+    violations, empty turns)."""
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.transcripts import validate_transcripts
+
+    return validate_transcripts(rd.read_parquet(_transcripts_dir(sf_dir)))
+
+
 def _q_stratified_sample(sf_dir: str):
     """Domain mixing: per-language sampling rates (en 80%, de/fr 25%,
     es 12.5%, everything else — zh here — 5%), content-addressed so
@@ -780,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": _q_decontaminate,
         "repetition_stats_documents": _q_repetition_stats,
         "stratified_sample_documents": _q_stratified_sample,
+        "validate_transcripts": _q_validate_transcripts,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -799,6 +811,7 @@ FIXTURE_ORACLE_QUERIES = frozenset(
         "dedup_substring_edges",
         "fingerprint_documents",
         "assemble_docs",
+        "validate_transcripts",
         "record_match_persons",
         "transliterate_persons",
     }
@@ -1108,6 +1121,25 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 23 <> 0) "
             "SELECT d.doc_id, count(*)::BIGINT AS n_contaminated "
             "FROM d JOIN b USING (gram) GROUP BY d.doc_id"
+        ),
+        "validate_transcripts": (
+            "WITH t AS (SELECT conv_id, turn_idx, role, text "
+            f"FROM read_parquet('{_CACHE_ROOT}/transcripts_sf0.01/turns/*.parquet')), "
+            "a AS (SELECT conv_id, count(*)::BIGINT AS n_turns, "
+            "count(DISTINCT role)::BIGINT AS n_roles, "
+            "(count(*) - count(DISTINCT turn_idx))::BIGINT AS dup_turn_idx, "
+            "(max(turn_idx) - min(turn_idx) + 1 - count(DISTINCT turn_idx))::BIGINT AS idx_gaps, "
+            "sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty_turns "
+            "FROM t GROUP BY conv_id), "
+            "o AS (SELECT conv_id, role, "
+            "CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep, "
+            "row_number() OVER w AS rn FROM t "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, text)), "
+            "r AS (SELECT conv_id, sum(rep)::BIGINT AS n_role_repeats FROM o GROUP BY conv_id), "
+            "s AS (SELECT conv_id, role AS starts_role FROM o WHERE rn = 1) "
+            "SELECT a.conv_id, n_turns, n_roles, dup_turn_idx, idx_gaps, "
+            "n_empty_turns, n_role_repeats, starts_role "
+            "FROM a JOIN r USING (conv_id) JOIN s USING (conv_id)"
         ),
         "stratified_sample_documents": (
             "SELECT doc_id, lang, text FROM documents "

@@ -1,0 +1,90 @@
+"""Transcript-table hygiene operators (conv_id, turn_idx, role, text).
+
+Training pipelines over agent/conversation transcripts need integrity
+checks BEFORE dedup/packing: duplicated or gapped turn indices break
+stable reassembly (the per-turn-equality invariant the flagship
+relies on), role-alternation violations and empty turns are quality
+signals.  One bucketed shuffle on conv_id (same machinery as document
+assembly, `stages/grouped.py`), vectorized pandas groupby inside each
+bucket — no per-conversation Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+
+def validate_transcripts(
+    turns: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Per-conversation integrity report:
+
+    - ``n_turns``, ``n_roles`` — sizes
+    - ``dup_turn_idx`` — rows sharing a turn_idx (breaks stable order)
+    - ``idx_gaps`` — holes in the [min..max] turn_idx range
+    - ``n_empty_turns`` — whitespace-only texts
+    - ``n_role_repeats`` — adjacent same-role turns (alternation check)
+    - ``starts_role`` — role of the first turn (min turn_idx; ties by
+      role then text, so the value is deterministic and SQL-mirrorable)
+
+    All counts int64; sort order inside a conversation is
+    ``(turn_idx, role, text)`` in BOTH this kernel and the SQL oracle
+    so adjacent-row semantics agree even on malformed input."""
+
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    slim = turns.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+    def _val(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "n_turns": pd.Series(dtype="int64"),
+                    "n_roles": pd.Series(dtype="int64"),
+                    "dup_turn_idx": pd.Series(dtype="int64"),
+                    "idx_gaps": pd.Series(dtype="int64"),
+                    "n_empty_turns": pd.Series(dtype="int64"),
+                    "n_role_repeats": pd.Series(dtype="int64"),
+                    "starts_role": pd.Series(dtype=object),
+                }
+            )
+        df = df.sort_values(["conv_id", "turn_idx", "role", "text"], kind="mergesort")
+        df = df.assign(
+            _empty=df["text"].fillna("").str.strip().eq("").astype("int64"),
+            _rep=(
+                df["role"].eq(df["role"].shift()) & df["conv_id"].eq(df["conv_id"].shift())
+            ).astype("int64"),
+        )
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(
+            n_turns=("turn_idx", "size"),
+            n_idx=("turn_idx", "nunique"),
+            n_roles=("role", "nunique"),
+            _mn=("turn_idx", "min"),
+            _mx=("turn_idx", "max"),
+            n_empty_turns=("_empty", "sum"),
+            n_role_repeats=("_rep", "sum"),
+            starts_role=("role", "first"),
+        ).reset_index()
+        out["dup_turn_idx"] = (out["n_turns"] - out["n_idx"]).astype("int64")
+        out["idx_gaps"] = (
+            out["_mx"].astype("int64") - out["_mn"].astype("int64") + 1 - out["n_idx"]
+        ).astype("int64")
+        for c in ("n_turns", "n_roles", "n_empty_turns", "n_role_repeats"):
+            out[c] = out[c].astype("int64")
+        return out[
+            [
+                "conv_id",
+                "n_turns",
+                "n_roles",
+                "dup_turn_idx",
+                "idx_gaps",
+                "n_empty_turns",
+                "n_role_repeats",
+                "starts_role",
+            ]
+        ]
+
+    return bucketed_group_apply(slim, "conv_id", _val, num_partitions)

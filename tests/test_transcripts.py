@@ -1,0 +1,85 @@
+"""Transcript integrity validation over malformed conversations."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from fuzzy_matching_ray.extras.transcripts import validate_transcripts
+
+
+def _turns(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_validate_transcripts_flags(ray_session):
+    rows = [
+        # clean alternating conversation
+        ("a", 0, "user", "hi"),
+        ("a", 1, "assistant", "hello"),
+        ("a", 2, "user", "bye"),
+        # duplicated turn_idx + role repeat
+        ("b", 0, "user", "x"),
+        ("b", 0, "user", "y"),
+        ("b", 1, "assistant", "z"),
+        # gapped indices + empty turn
+        ("c", 0, "user", "q"),
+        ("c", 3, "assistant", "   "),
+    ]
+    out = (
+        validate_transcripts(_turns(rows), num_partitions=4)
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    a, b, c = out.loc["a"], out.loc["b"], out.loc["c"]
+    assert list(a[["n_turns", "n_roles", "dup_turn_idx", "idx_gaps"]]) == [3, 2, 0, 0]
+    assert a["n_role_repeats"] == 0 and a["starts_role"] == "user"
+    assert b["dup_turn_idx"] == 1 and b["n_role_repeats"] == 1
+    assert b["starts_role"] == "user"  # tie at idx 0 broken by (role, text)
+    assert c["idx_gaps"] == 2 and c["n_empty_turns"] == 1
+
+
+def test_validate_matches_pandas_reference(ray_session):
+    # cross-check against a direct single-frame computation
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for ci in range(40):
+        n = int(rng.integers(1, 9))
+        for t in range(n):
+            idx = t if rng.random() > 0.1 else max(0, t - 1)  # occasional dup
+            role = ["user", "assistant"][int(rng.integers(0, 2))]
+            rows.append((f"c{ci}", idx, role, f"text {ci} {t}"))
+    out = (
+        validate_transcripts(_turns(rows), num_partitions=8)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    df = df.sort_values(["conv_id", "turn_idx", "role", "text"], kind="mergesort")
+    g = df.groupby("conv_id")
+    assert (out.set_index("conv_id")["n_turns"] == g.size()).all()
+    assert (
+        out.set_index("conv_id")["dup_turn_idx"]
+        == g["turn_idx"].size() - g["turn_idx"].nunique()
+    ).all()
+    rep = (
+        (df["role"].eq(df["role"].shift()) & df["conv_id"].eq(df["conv_id"].shift()))
+        .groupby(df["conv_id"])
+        .sum()
+    )
+    assert (out.set_index("conv_id")["n_role_repeats"] == rep).all()
+    assert (out.set_index("conv_id")["starts_role"] == g["role"].first()).all()
