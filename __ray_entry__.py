@@ -643,6 +643,16 @@ def _q_validate_transcripts(sf_dir: str):
     return validate_transcripts(rd.read_parquet(_transcripts_dir(sf_dir)))
 
 
+def _q_pack_chat(sf_dir: str):
+    """SFT chat-packing layout with assistant-only loss masks over
+    the transcripts table."""
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.transcripts import pack_chat_sequences
+
+    return pack_chat_sequences(rd.read_parquet(_transcripts_dir(sf_dir)))
+
+
 def _q_stratified_sample(sf_dir: str):
     """Domain mixing: per-language sampling rates (en 80%, de/fr 25%,
     es 12.5%, everything else — zh here — 5%), content-addressed so
@@ -792,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": _q_repetition_stats,
         "stratified_sample_documents": _q_stratified_sample,
         "validate_transcripts": _q_validate_transcripts,
+        "pack_chat_sequences": _q_pack_chat,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -812,6 +823,7 @@ FIXTURE_ORACLE_QUERIES = frozenset(
         "fingerprint_documents",
         "assemble_docs",
         "validate_transcripts",
+        "pack_chat_sequences",
         "record_match_persons",
         "transliterate_persons",
     }
@@ -1140,6 +1152,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.conv_id, n_turns, n_roles, dup_turn_idx, idx_gaps, "
             "n_empty_turns, n_role_repeats, starts_role "
             "FROM a JOIN r USING (conv_id) JOIN s USING (conv_id)"
+        ),
+        "pack_chat_sequences": (
+            "WITH t AS (SELECT conv_id, turn_idx, role, text "
+            f"FROM read_parquet('{_CACHE_ROOT}/transcripts_sf0.01/turns/*.parquet')), "
+            "n AS (SELECT conv_id, turn_idx, role, text, "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens "
+            "FROM t), "
+            "c AS (SELECT conv_id, turn_idx::BIGINT AS turn_idx, n_tokens, "
+            "(sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx, role, text "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS seq_start, "
+            "(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS loss_mask FROM n) "
+            "SELECT conv_id, turn_idx, seq_start, n_tokens, loss_mask, "
+            "(seq_start // 512)::BIGINT AS pack_first, "
+            "((seq_start + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS pack_last "
+            "FROM c"
         ),
         "stratified_sample_documents": (
             "SELECT doc_id, lang, text FROM documents "

@@ -88,3 +88,61 @@ def validate_transcripts(
         ]
 
     return bucketed_group_apply(slim, "conv_id", _val, num_partitions)
+
+
+def pack_chat_sequences(
+    turns: ray.data.Dataset,
+    *,
+    budget: int = 512,
+    loss_roles: tuple[str, ...] = ("assistant",),
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SFT-style chat packing layout: each conversation is one
+    training sequence (turns concatenated in stable order); per turn
+    emit its whitespace-token count, its token offset in the
+    sequence, the fixed-size pack indices it touches, and the loss
+    mask (1 only for ``loss_roles`` — the standard
+    assistant-turns-only supervision).  Integer-exact, one conv_id
+    shuffle, vectorized cumsum inside buckets; the actual token-id
+    materialization is the tokenizer's job downstream — this operator
+    defines the REPRODUCIBLE layout (same contract as
+    :func:`fuzzy_matching_ray.extras.packing.pack_sequences`)."""
+    import numpy as np
+
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    slim = turns.select_columns(["conv_id", "turn_idx", "role", "text"])
+    roles = set(loss_roles)
+
+    def _pack(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "turn_idx": pd.Series(dtype="int64"),
+                    "seq_start": pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "loss_mask": pd.Series(dtype="int64"),
+                    "pack_first": pd.Series(dtype="int64"),
+                    "pack_last": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["conv_id", "turn_idx", "role", "text"], kind="mergesort")
+        n = (
+            df["text"].fillna("").str.strip().str.count(r"\S+").astype("int64").to_numpy()
+        )
+        cum = df.assign(_n=n).groupby("conv_id", sort=False)["_n"].cumsum().to_numpy() - n
+        out = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "turn_idx": df["turn_idx"].astype("int64").to_numpy(),
+                "seq_start": cum.astype("int64"),
+                "n_tokens": n,
+                "loss_mask": df["role"].isin(roles).astype("int64").to_numpy(),
+                "pack_first": (cum // budget).astype("int64"),
+                "pack_last": ((cum + np.maximum(n, 1) - 1) // budget).astype("int64"),
+            }
+        )
+        return out
+
+    return bucketed_group_apply(slim, "conv_id", _pack, num_partitions)

@@ -83,3 +83,28 @@ def test_validate_matches_pandas_reference(ray_session):
     )
     assert (out.set_index("conv_id")["n_role_repeats"] == rep).all()
     assert (out.set_index("conv_id")["starts_role"] == g["role"].first()).all()
+
+
+def test_pack_chat_layout_and_mask(ray_session):
+    from fuzzy_matching_ray.extras.transcripts import pack_chat_sequences
+
+    rows = [
+        ("a", 0, "system", "be helpful"),          # 2 tokens, mask 0
+        ("a", 1, "user", "one two three"),         # 3 tokens, mask 0
+        ("a", 2, "assistant", "w1 w2 w3 w4"),      # 4 tokens, mask 1
+        ("b", 0, "user", " ".join(f"t{i}" for i in range(6))),  # 6 tokens
+        ("b", 1, "assistant", "x y"),              # straddles budget=4
+    ]
+    out = (
+        pack_chat_sequences(_turns(rows), budget=4, num_partitions=4)
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    assert list(out.loc[("a", 0)][["seq_start", "n_tokens", "loss_mask"]]) == [0, 2, 0]
+    assert list(out.loc[("a", 2)][["seq_start", "n_tokens", "loss_mask"]]) == [5, 4, 1]
+    # a's assistant turn spans tokens 5..8 -> packs 1..2 at budget 4
+    assert list(out.loc[("a", 2)][["pack_first", "pack_last"]]) == [1, 2]
+    # b turn 0 spans 0..5 -> packs 0..1; turn 1 spans 6..7 -> pack 1
+    assert list(out.loc[("b", 0)][["pack_first", "pack_last"]]) == [0, 1]
+    assert list(out.loc[("b", 1)][["pack_first", "pack_last"]]) == [1, 1]
