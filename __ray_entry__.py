@@ -643,6 +643,14 @@ def _q_validate_transcripts(sf_dir: str):
     return validate_transcripts(rd.read_parquet(_transcripts_dir(sf_dir)))
 
 
+def _q_cluster_safe_split(sf_dir: str):
+    """Leakage-free train/val split: near-dup clusters assigned
+    wholesale by md5(cluster_id) prefix."""
+    from fuzzy_matching_ray.extras.doc_dedup import cluster_safe_split
+
+    return cluster_safe_split(_read(sf_dir, "documents"), val_hex="33")
+
+
 def _q_pack_chat(sf_dir: str):
     """SFT chat-packing layout with assistant-only loss masks over
     the transcripts table."""
@@ -803,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": _q_stratified_sample,
         "validate_transcripts": _q_validate_transcripts,
         "pack_chat_sequences": _q_pack_chat,
+        "cluster_safe_split": _q_cluster_safe_split,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -933,6 +942,27 @@ def oracle_sql() -> dict[str, str]:
             "reach(a, b) AS (SELECT id, id FROM sh UNION "
             "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src) "
             "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"
+        ),
+        "cluster_safe_split": (
+            # the minhash_dedup_documents components oracle + a
+            # content-addressed whole-cluster split assignment
+            "WITH RECURSIVE canon AS ("
+            "SELECT doc_id::VARCHAR AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t "
+            "FROM documents), "
+            "sh AS (SELECT id, CASE WHEN length(t) < 5 THEN [t] "
+            "ELSE list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i::INT, 5))) END AS s "
+            "FROM canon), "
+            "e AS (SELECT a.id AS src, b.id AS dst "
+            "FROM sh a JOIN sh b ON a.id < b.id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7), "
+            "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), "
+            "reach(a, b) AS (SELECT id, id FROM sh UNION "
+            "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src), "
+            "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a) "
+            "SELECT doc_id, cluster_id, "
+            "CASE WHEN substr(md5(cluster_id), 1, 2) < '33' THEN 'val' ELSE 'train' END AS split "
+            "FROM cl"
         ),
         "exact_dedup_documents": (
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"

@@ -515,3 +515,38 @@ def incremental_dedup_pairs(
         return pa.table({"src": lo, "dst": hi})
 
     return edges.map_batches(_orient, batch_format="pyarrow")
+
+
+def cluster_safe_split(
+    ds: ray.data.Dataset,
+    val_hex: str = "33",
+    cfg: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Leakage-free train/val split: every near-dup CLUSTER is
+    assigned wholesale — a doc can never land in train while its
+    near-duplicate sits in val (the classic eval-contamination bug a
+    row-level split causes).  Assignment is content-addressed
+    (``md5(cluster_id)`` prefix < ``val_hex`` → val, same contract as
+    :func:`fuzzy_matching_ray.extras.relational.hash_sample`), so the
+    split is a pure function of the data — reproducible across runs,
+    partitionings and engines.  Output: (doc_id, cluster_id, split)."""
+
+    from fuzzy_matching_ray.hashing import md5_leading_byte
+
+    thr = int(val_hex, 16)
+    clusters = minhash_dedup_docs(ds, cfg, id_col=id_col, text_col=text_col)
+
+    def _assign(b: pa.Table) -> pa.Table:
+        byte = md5_leading_byte(b["cluster_id"].to_pylist())
+        split = np.where(byte < thr, "val", "train")
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster_id": b["cluster_id"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return clusters.map_batches(_assign, batch_format="pyarrow")

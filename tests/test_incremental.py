@@ -72,3 +72,30 @@ def test_matches_full_run_minus_base_pairs():
     inc = incremental_dedup_pairs(_docs(odds), _docs(evens)).to_pandas()
     got = {tuple(r) for r in inc[["src", "dst"]].itertuples(index=False)}
     assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cluster_safe_split_no_leakage():
+    import hashlib
+
+    from fuzzy_matching_ray.extras.doc_dedup import cluster_safe_split
+
+    # three near-dup pairs + singletons
+    rows = []
+    for i in range(12):
+        base = f"document number {i} with a long enough body of repeated words " * 3
+        rows.append((i, base))
+        if i < 3:
+            rows.append((100 + i, base + " tail"))
+    out = cluster_safe_split(_docs(rows), val_hex="80").to_pandas()
+    assert len(out) == len(rows)
+    # every cluster lands wholly in one split
+    assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
+    # near-dup partners share a cluster
+    cl = dict(zip(out.doc_id.astype(int), out.cluster_id))
+    for i in range(3):
+        assert cl[i] == cl[100 + i]
+    # split matches the md5 contract
+    for _, r in out.iterrows():
+        expect = "val" if hashlib.md5(str(r.cluster_id).encode()).hexdigest()[:2] < "80" else "train"
+        assert r.split == expect
