@@ -661,6 +661,17 @@ def _q_pack_chat(sf_dir: str):
     return pack_chat_sequences(rd.read_parquet(_transcripts_dir(sf_dir)))
 
 
+def _q_boilerplate_turns(sf_dir: str):
+    """Repeated-turn detection over the transcripts table (system
+    prompts / canned responses), partial-aggregated before the
+    text-keyed shuffle."""
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.transcripts import boilerplate_turns
+
+    return boilerplate_turns(rd.read_parquet(_transcripts_dir(sf_dir)), min_count=3)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Domain mixing: per-language sampling rates (en 80%, de/fr 25%,
     es 12.5%, everything else — zh here — 5%), content-addressed so
@@ -812,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_transcripts": _q_validate_transcripts,
         "pack_chat_sequences": _q_pack_chat,
         "cluster_safe_split": _q_cluster_safe_split,
+        "boilerplate_turns": _q_boilerplate_turns,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -833,6 +845,7 @@ FIXTURE_ORACLE_QUERIES = frozenset(
         "assemble_docs",
         "validate_transcripts",
         "pack_chat_sequences",
+        "boilerplate_turns",
         "record_match_persons",
         "transliterate_persons",
     }
@@ -1182,6 +1195,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.conv_id, n_turns, n_roles, dup_turn_idx, idx_gaps, "
             "n_empty_turns, n_role_repeats, starts_role "
             "FROM a JOIN r USING (conv_id) JOIN s USING (conv_id)"
+        ),
+        "boilerplate_turns": (
+            "SELECT text, count(*)::BIGINT AS n_occurrences, "
+            "count(DISTINCT conv_id)::BIGINT AS n_convs "
+            f"FROM read_parquet('{_CACHE_ROOT}/transcripts_sf0.01/turns/*.parquet') "
+            "GROUP BY text HAVING count(*) >= 3"
         ),
         "pack_chat_sequences": (
             "WITH t AS (SELECT conv_id, turn_idx, role, text "

@@ -146,3 +146,48 @@ def pack_chat_sequences(
         return out
 
     return bucketed_group_apply(slim, "conv_id", _pack, num_partitions)
+
+
+def boilerplate_turns(
+    turns: ray.data.Dataset,
+    min_count: int = 3,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Repeated-turn (boilerplate) detection: turns whose exact text
+    recurs ``min_count``+ times across the corpus — system prompts,
+    canned greetings, templated tool outputs.  Output
+    ``(text, n_occurrences, n_convs)``.
+
+    Scale shape: a per-batch combiner first collapses each batch to
+    distinct ``(text, conv_id)`` rows with local counts — boilerplate
+    is by definition highly duplicated, so the text-keyed shuffle that
+    follows moves the REDUCED stream, not one row per turn (the same
+    partial-aggregate-before-groupby rule as the token heavy-hitters
+    operator)."""
+
+    def _local(df: pd.DataFrame):
+        import pyarrow as pa
+
+        g = (
+            df.groupby(["text", "conv_id"], sort=False)
+            .size()
+            .reset_index(name="_cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    local = turns.select_columns(["conv_id", "text"]).map_batches(
+        _local, batch_format="pandas"
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text", sort=False).agg(
+            n_occurrences=("_cnt", "sum"), n_convs=("conv_id", "nunique")
+        )
+        g = g[g["n_occurrences"] >= min_count].reset_index()
+        g["n_occurrences"] = g["n_occurrences"].astype("int64")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return g[["text", "n_occurrences", "n_convs"]]
+
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    return bucketed_group_apply(local, "text", _merge, num_partitions)

@@ -108,3 +108,22 @@ def test_pack_chat_layout_and_mask(ray_session):
     # b turn 0 spans 0..5 -> packs 0..1; turn 1 spans 6..7 -> pack 1
     assert list(out.loc[("b", 0)][["pack_first", "pack_last"]]) == [0, 1]
     assert list(out.loc[("b", 1)][["pack_first", "pack_last"]]) == [1, 1]
+
+
+def test_boilerplate_turns_counts(ray_session):
+    from fuzzy_matching_ray.extras.transcripts import boilerplate_turns
+
+    rows = (
+        [(f"c{i}", 0, "system", "you are helpful") for i in range(5)]
+        + [(f"c{i}", 1, "user", f"unique question {i}") for i in range(5)]
+        + [("c0", 2, "assistant", "ok"), ("c0", 3, "assistant", "ok")]
+    )
+    out = (
+        boilerplate_turns(_turns(rows), min_count=2, num_partitions=4)
+        .to_pandas()
+        .set_index("text")
+        .sort_index()
+    )
+    assert list(out.index) == ["ok", "you are helpful"]
+    assert list(out.loc["you are helpful"]) == [5, 5]
+    assert list(out.loc["ok"]) == [2, 1]  # twice, in one conversation
