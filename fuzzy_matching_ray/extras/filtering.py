@@ -124,14 +124,20 @@ def decontaminate(
         _, h = _doc_gram_hashes(batch[text_col].to_pandas(), n)
         return pa.table({"g": pa.array(np.unique(h), pa.uint64())})
 
-    parts = [
-        b["g"].to_numpy(zero_copy_only=False)
-        for b in bench_ds.map_batches(_bench_grams, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    ]
-    bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
-    bench_ref = ray.put(bench)
+    # reduce the per-batch unique sets in ONE remote task whose return
+    # value IS the broadcast object — the driver only ever holds the
+    # ref, never the (possibly hundreds-of-MB) sorted hash array
+    @ray.remote
+    def _reduce(*tables: pa.Table) -> np.ndarray:
+        arrs = [t["g"].to_numpy(zero_copy_only=False) for t in tables]
+        return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+
+    blocks = (
+        bench_ds.map_batches(_bench_grams, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    bench_ref = _reduce.remote(*blocks)
 
     def _probe(batch: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
