@@ -661,6 +661,18 @@ def _q_pack_chat(sf_dir: str):
     return pack_chat_sequences(rd.read_parquet(_transcripts_dir(sf_dir)))
 
 
+def _q_chunk_documents(sf_dir: str):
+    """RAG-style sliding-window chunking (32-word windows, stride 8),
+    fully vectorized including the Arrow C-level chunk-text join."""
+    from fuzzy_matching_ray.extras.chunking import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        window=32,
+        stride=8,
+    )
+
+
 def _q_boilerplate_turns(sf_dir: str):
     """Repeated-turn detection over the transcripts table (system
     prompts / canned responses), partial-aggregated before the
@@ -824,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chat_sequences": _q_pack_chat,
         "cluster_safe_split": _q_cluster_safe_split,
         "boilerplate_turns": _q_boilerplate_turns,
+        "chunk_documents": _q_chunk_documents,
         "events_rolling_window": _q_events_rolling_window,
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
@@ -1195,6 +1208,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.conv_id, n_turns, n_roles, dup_turn_idx, idx_gaps, "
             "n_empty_turns, n_role_repeats, starts_role "
             "FROM a JOIN r USING (conv_id) JOIN s USING (conv_id)"
+        ),
+        "chunk_documents": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "unnest(list_transform(range(0, len(w), 8), s -> (s // 8)::BIGINT)) AS chunk_idx, "
+            "unnest(list_transform(range(0, len(w), 8), s -> least(32, len(w) - s)::BIGINT)) AS n_tokens, "
+            "unnest(list_transform(range(0, len(w), 8), "
+            "s -> array_to_string(w[(s + 1)::INT : least(s + 32, len(w))::INT], ' '))) AS chunk_text "
+            "FROM w WHERE len(w) > 0"
         ),
         "boilerplate_turns": (
             "SELECT text, count(*)::BIGINT AS n_occurrences, "

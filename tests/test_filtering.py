@@ -86,3 +86,32 @@ def test_repetition_stats_counts_and_tiebreak():
     assert out.loc[2, "top_bigram"] == "z y"
     assert out.loc[3, "top_bigram"] == "" and out.loc[3, "top_bigram_count"] == 0
     assert out.loc[4, "top_bigram"] == "x x"  # min among count-1 ties
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_windows():
+    from fuzzy_matching_ray.extras.chunking import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # starts 0,4,8 at stride 4
+        (2, "a b"),                                  # single short chunk
+        (3, ""),                                     # no chunks
+        (4, "   "),                                  # whitespace-only: no chunks
+    ]
+    out = (
+        chunk_documents(_docs(rows), window=6, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk_idx) == [0, 1, 2]
+    assert list(d1.n_tokens) == [6, 6, 2]
+    assert d1.iloc[0].chunk_text == "w0 w1 w2 w3 w4 w5"
+    assert d1.iloc[2].chunk_text == "w8 w9"
+    d2 = out[out.doc_id == 2]
+    assert list(d2.n_tokens) == [2] and d2.iloc[0].chunk_text == "a b"
+    assert not (out.doc_id.isin([3, 4])).any()
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(rows), window=6, stride=0)
