@@ -443,12 +443,28 @@ def embedding_dedup_clusters(
     )
 
 
+def _canonical_sig_schema(b: pa.Table, num_perm: int) -> pa.Table:
+    """Rebuild a signature batch reloaded from a Parquet checkpoint to
+    the in-memory canonical types: Parquet has no fixed-size-list
+    physical type, so ``sig`` comes back as ``list<uint64>`` — rebuild
+    the ``FixedSizeListArray`` zero-copy from its flattened values so
+    unions with freshly-computed signature blocks are schema-clean."""
+    sig = b["sig"]
+    if pa.types.is_fixed_size_list(sig.type):
+        return b
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    fixed = pa.FixedSizeListArray.from_arrays(sig.flatten(), num_perm)
+    return b.set_column(b.schema.get_field_index("sig"), "sig", fixed)
+
+
 def incremental_dedup_pairs(
     new_ds: ray.data.Dataset,
     base_ds: ray.data.Dataset,
     cfg: PipelineConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    workdir: str | None = None,
 ) -> ray.data.Dataset:
     """Incremental near-dup detection: accepted pairs touching at
     least one NEW document — ``(src, dst)`` doc-id strings, sorted
@@ -456,6 +472,13 @@ def incremental_dedup_pairs(
     was deduplicated in a previous run, so base×base pairs are dropped
     from the candidate stream BEFORE verification (they never reach
     the exact-Jaccard kernel, which is where the money goes).
+
+    With ``workdir``, the base corpus's canonicalized docs AND MinHash
+    signatures are checkpointed with config-hash lineage
+    (`state/checkpoint.py`): repeated ingests against the same base
+    skip the base side's canonicalize+signature compute entirely —
+    the dominant cost of a daily-ingest loop, where the base is 100×
+    the new batch.  A changed config refuses the stale lineage.
 
     Base membership is a broadcast sorted-nid array (8 bytes/base
     doc — ~800 MB at 10⁸ base docs; beyond that, swap the broadcast
@@ -470,8 +493,26 @@ def incremental_dedup_pairs(
     from fuzzy_matching_ray.stages.verify import edges_to_conv_ids
 
     cfg = cfg or PipelineConfig(num_partitions=8, edit_accept_threshold=0.0)
-    new_docs = canonicalize_documents(_as_conv(new_ds, id_col, text_col), cfg)
-    base_docs = canonicalize_documents(_as_conv(base_ds, id_col, text_col), cfg).materialize()
+    new_docs = canonicalize_documents(_as_conv(new_ds, id_col, text_col), cfg).materialize()
+    base_sigs = None
+    if workdir:
+        from fuzzy_matching_ray.state.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(workdir, cfg.config_hash())
+        base_docs = ckpt.run_stage(
+            "base_docs",
+            lambda: canonicalize_documents(_as_conv(base_ds, id_col, text_col), cfg),
+        ).ds.materialize()
+        num_perm = cfg.num_perm
+        base_sigs = (
+            ckpt.run_stage("base_sigs", lambda: compute_signatures(base_docs, cfg))
+            .ds.map_batches(
+                lambda b: _canonical_sig_schema(b, num_perm), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+    else:
+        base_docs = canonicalize_documents(_as_conv(base_ds, id_col, text_col), cfg).materialize()
     docs = new_docs.union(base_docs).materialize()
     n = docs.count()
 
@@ -480,7 +521,10 @@ def incremental_dedup_pairs(
     base_nids = np.sort(nid_of(gather_column(base_docs, "conv_id")))
     base_ref = _ray.put(base_nids)
 
-    sigs = compute_signatures(docs, cfg).materialize()
+    if base_sigs is not None:
+        sigs = compute_signatures(new_docs, cfg).union(base_sigs).materialize()
+    else:
+        sigs = compute_signatures(docs, cfg).materialize()
     band_rows = minhash_band_rows(sigs, cfg)
     pairs = dedup_pairs(
         candidate_pairs_from_buckets(band_rows, cfg, "minhash", cfg.num_partitions),

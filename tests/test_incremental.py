@@ -99,3 +99,24 @@ def test_cluster_safe_split_no_leakage():
     for _, r in out.iterrows():
         expect = "val" if hashlib.md5(str(r.cluster_id).encode()).hexdigest()[:2] < "80" else "train"
         assert r.split == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_workdir_reuses_base_signatures(tmp_path):
+    import os
+
+    base = _docs([(2 * i, f"base document {i} " + "shared words appear here " * 4) for i in range(8)])
+    new1 = _docs([(1, "base document 0 " + "shared words appear here " * 4 + "tail")])
+    wd = str(tmp_path / "ckpt")
+
+    ref = incremental_dedup_pairs(new1, base).to_pandas()
+    r1 = incremental_dedup_pairs(new1, base, workdir=wd).to_pandas()
+    sig_manifest = os.path.join(wd, "stage=base_sigs", "_manifest.json")
+    mtime1 = os.path.getmtime(sig_manifest)
+
+    r2 = incremental_dedup_pairs(new1, base, workdir=wd).to_pandas()
+    assert os.path.getmtime(sig_manifest) == mtime1, "base sigs recomputed on resume"
+
+    key = lambda df: sorted(map(tuple, df[["src", "dst"]].to_numpy()))
+    assert key(r1) == key(r2) == key(ref)
+    assert ("0", "1") in key(ref)
