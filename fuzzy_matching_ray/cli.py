@@ -172,6 +172,26 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_incremental(args: argparse.Namespace) -> int:
+    """Incremental dedup: accepted near-dup pairs touching the NEW
+    batch, against a (checkpointable) base corpus."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.doc_dedup import incremental_dedup_pairs
+
+    out = incremental_dedup_pairs(
+        rd.read_parquet(args.new),
+        rd.read_parquet(args.base),
+        workdir=args.workdir,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    out.write_parquet(args.output)
+    print(f"incremental dup pairs -> {args.output}")
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     """BM25 ranked keyword search over a documents Parquet file/dir."""
     _init_ray(args.num_cpus)
@@ -265,6 +285,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--lang", default="en")
     c.add_argument("--sample-hex", default="aa")
     c.set_defaults(fn=cmd_curate)
+
+    inc = sub.add_parser(
+        "incremental", help="dedup a NEW batch against a checkpointed base corpus"
+    )
+    inc.add_argument("--new", required=True, help="new-batch documents Parquet")
+    inc.add_argument("--base", required=True, help="base-corpus documents Parquet")
+    inc.add_argument("--output", required=True)
+    inc.add_argument("--workdir", default=None,
+                     help="base docs+signatures checkpoint dir (reused across ingests)")
+    inc.add_argument("--id-col", default="doc_id")
+    inc.add_argument("--text-col", default="text")
+    inc.set_defaults(fn=cmd_incremental)
 
     s = sub.add_parser("search", help="BM25 ranked keyword search")
     s.add_argument("--input", required=True)
