@@ -115,3 +115,41 @@ def test_chunk_documents_windows():
 
     with pytest.raises(ValueError):
         chunk_documents(_docs(rows), window=6, stride=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_property_vs_reference():
+    from hypothesis import given, settings, strategies as st
+
+    from fuzzy_matching_ray.extras.chunking import chunk_documents
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        texts=st.lists(doc, min_size=1, max_size=8),
+        window=st.integers(1, 10),
+        stride=st.integers(1, 10),
+    )
+    def run(texts, window, stride):
+        rows = list(enumerate(texts))
+        out = chunk_documents(_docs(rows), window=window, stride=stride).to_pandas()
+        expect = []
+        for i, t in rows:
+            toks = t.split()
+            s = 0
+            ci = 0
+            while s < len(toks):
+                take = toks[s : s + window]
+                expect.append((i, ci, len(take), " ".join(take)))
+                s += stride
+                ci += 1
+        if out.empty:
+            assert expect == []
+            return
+        out = out.sort_values(["doc_id", "chunk_idx"])
+        got = list(map(tuple, out[["doc_id", "chunk_idx", "n_tokens", "chunk_text"]].to_numpy()))
+        assert got == expect
+
+    run()
