@@ -146,7 +146,25 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     res = dedup_transcripts(
         rd.read_parquet(args.input), cfg, channels=channels, attach=args.attach
     )
-    res.clusters.write_parquet(args.output + "/clusters")
+    if args.partition_output:
+        # one directory per conv_id hash bucket: a downstream consumer
+        # (or a re-run after failure) can process / skip buckets
+        # independently — the brief's resumable-output layout
+        import pyarrow as pa
+
+        from fuzzy_matching_ray.stages.grouped import _bucket_of_column
+
+        def _bucketed(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "bucket",
+                pa.array(_bucket_of_column(b["conv_id"], args.num_partitions), pa.int32()),
+            )
+
+        res.clusters.map_batches(_bucketed, batch_format="pyarrow").write_parquet(
+            args.output + "/clusters", partition_cols=["bucket"]
+        )
+    else:
+        res.clusters.write_parquet(args.output + "/clusters")
     res.representatives.write_parquet(args.output + "/representatives")
     res.edges.write_parquet(args.output + "/edges")
     print(json.dumps(res.metrics))
@@ -276,6 +294,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--attach", default="auto", choices=["auto", "broadcast", "shuffle"],
                    help="verify payload path (shuffle = beyond-broadcast scale)")
     d.add_argument("--num-partitions", type=int, default=16)
+    d.add_argument("--partition-output", action="store_true",
+                   help="write clusters as one directory per conv_id hash bucket")
     d.set_defaults(fn=cmd_dedup)
 
     c = sub.add_parser("curate", help="filter+dedup+sample documents for training")
