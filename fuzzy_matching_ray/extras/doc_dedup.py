@@ -443,6 +443,41 @@ def embedding_dedup_clusters(
     )
 
 
+def _content_fingerprint(
+    ds: ray.data.Dataset, id_col: str, text_col: str
+) -> str:
+    """Order-independent content fingerprint of an (id, text) dataset:
+    row count + wraparound sum of per-row (id, text) hashes, computed
+    in one streaming vectorized pass.  Used as checkpoint lineage for
+    the incremental-dedup base corpus — far cheaper than the
+    canonicalize+MinHash work it guards (one hash per row vs 126
+    permutations over every shingle), but sensitive to any added,
+    removed or edited row."""
+
+    def _fp(b: pa.Table) -> pa.Table:
+        ids = pd.util.hash_array(
+            b[id_col].cast(pa.string()).to_pandas().to_numpy(dtype=object)
+        ).astype(np.uint64)
+        txt = pd.util.hash_array(
+            b[text_col].to_pandas().fillna("").to_numpy(dtype=object)
+        ).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = ids * np.uint64(0x9E3779B97F4A7C15) + txt
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "s": pa.array([int(mix.sum(dtype=np.uint64))], pa.uint64()),
+            }
+        )
+
+    rows = ds.map_batches(_fp, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    s = 0
+    for r in rows:
+        s = (s + int(r["s"])) % (1 << 64)
+    return f"n={n},sum={s:016x}"
+
+
 def _canonical_sig_schema(b: pa.Table, num_perm: int) -> pa.Table:
     """Rebuild a signature batch reloaded from a Parquet checkpoint to
     the in-memory canonical types: Parquet has no fixed-size-list
@@ -498,14 +533,23 @@ def incremental_dedup_pairs(
     if workdir:
         from fuzzy_matching_ray.state.checkpoint import CheckpointManager
 
+        # lineage = config hash + a streaming content fingerprint of
+        # the base input, so a changed/merged base REFUSES the stale
+        # checkpoint instead of silently missing its new documents
+        base_fp = _content_fingerprint(base_ds, id_col, text_col)
         ckpt = CheckpointManager(workdir, cfg.config_hash())
         base_docs = ckpt.run_stage(
             "base_docs",
             lambda: canonicalize_documents(_as_conv(base_ds, id_col, text_col), cfg),
+            input_fingerprint=base_fp,
         ).ds.materialize()
         num_perm = cfg.num_perm
         base_sigs = (
-            ckpt.run_stage("base_sigs", lambda: compute_signatures(base_docs, cfg))
+            ckpt.run_stage(
+                "base_sigs",
+                lambda: compute_signatures(base_docs, cfg),
+                input_fingerprint=base_fp,
+            )
             .ds.map_batches(
                 lambda b: _canonical_sig_schema(b, num_perm), batch_format="pyarrow"
             )
@@ -516,10 +560,32 @@ def incremental_dedup_pairs(
     docs = new_docs.union(base_docs).materialize()
     n = docs.count()
 
-    from fuzzy_matching_ray.stages.blocks import gather_column
+    # base-membership array built per block remotely and reduced in ONE
+    # remote task whose return value IS the broadcast object — the
+    # driver never materializes the id list (same shape as the
+    # decontamination bench-set build)
+    def _nid_table(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"nid": pa.array(nid_of(b["conv_id"].to_pylist()), pa.uint64())}
+        )
 
-    base_nids = np.sort(nid_of(gather_column(base_docs, "conv_id")))
-    base_ref = _ray.put(base_nids)
+    @_ray.remote
+    def _sorted_unique(*tables: pa.Table) -> np.ndarray:
+        # 0-row blocks can arrive schema-less — skip them
+        arrs = [
+            t["nid"].to_numpy(zero_copy_only=False)
+            for t in tables
+            if t.num_rows and "nid" in t.schema.names
+        ]
+        return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+
+    nid_blocks = (
+        base_docs.select_columns(["conv_id"])
+        .map_batches(_nid_table, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    base_ref = _sorted_unique.remote(*nid_blocks)
 
     if base_sigs is not None:
         sigs = compute_signatures(new_docs, cfg).union(base_sigs).materialize()
@@ -534,16 +600,11 @@ def incremental_dedup_pairs(
     def _drop_base_base(b: pa.Table) -> pa.Table:
         from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
 
+        from fuzzy_matching_ray.hashing import sorted_member
+
         base = _ray.get(base_ref)
-
-        def _member(x: np.ndarray) -> np.ndarray:
-            if base.size == 0:
-                return np.zeros(x.shape, dtype=bool)
-            idx = np.minimum(np.searchsorted(base, x), base.size - 1)
-            return base[idx] == x
-
-        in_src = _member(b["src"].to_numpy(zero_copy_only=False))
-        in_dst = _member(b["dst"].to_numpy(zero_copy_only=False))
+        in_src = sorted_member(base, b["src"].to_numpy(zero_copy_only=False))
+        in_dst = sorted_member(base, b["dst"].to_numpy(zero_copy_only=False))
         chan = b["channel"].to_numpy(zero_copy_only=False)
         keep = ~(in_src & in_dst) | (chan == CHANNEL_CODES[SKEW_CHANNEL])
         return b.filter(pa.array(keep))

@@ -129,7 +129,12 @@ def decontaminate(
     # ref, never the (possibly hundreds-of-MB) sorted hash array
     @ray.remote
     def _reduce(*tables: pa.Table) -> np.ndarray:
-        arrs = [t["g"].to_numpy(zero_copy_only=False) for t in tables]
+        # 0-row blocks can arrive schema-less — skip them
+        arrs = [
+            t["g"].to_numpy(zero_copy_only=False)
+            for t in tables
+            if t.num_rows and "g" in t.schema.names
+        ]
         return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
 
     blocks = (
@@ -141,25 +146,27 @@ def decontaminate(
 
     def _probe(batch: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table(  # preserve the input id type (int or string)
+            {id_col: pa.array([], batch[id_col].type), "n_contaminated": pa.array([], pa.int64())}
+        )
         if bset.size == 0:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "n_contaminated": pa.array([], pa.int64())}
-            )
+            return empty
+        from fuzzy_matching_ray.hashing import sorted_member
+
         doc_ord, h = _doc_gram_hashes(batch[text_col].to_pandas(), n)
-        idx = np.minimum(np.searchsorted(bset, h), bset.size - 1)
-        hit = bset[idx] == h
+        hit = sorted_member(bset, h)
         if not hit.any():
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "n_contaminated": pa.array([], pa.int64())}
-            )
+            return empty
         # distinct (doc, gram) hits, then count per doc
         pairs = np.stack([doc_ord[hit].astype(np.uint64), h[hit]], axis=1)
         uniq = np.unique(pairs, axis=0)
         docs, counts = np.unique(uniq[:, 0].astype(np.int64), return_counts=True)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                id_col: pa.array(ids[docs], pa.int64()),
+                id_col: ids.take(pa.array(docs, pa.int64())),
                 "n_contaminated": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )

@@ -50,9 +50,14 @@ def validate_transcripts(
                     "starts_role": pd.Series(dtype=object),
                 }
             )
+        # NULLS LAST in both engines (pandas na_position default /
+        # DuckDB ASC default), so "first turn" agrees even on
+        # malformed rows; NULL text is NOT empty (mirrors SQL
+        # `trim(NULL) = ''` → NULL → 0), NULL role never counts as a
+        # repeat (mirrors `role = lag(role)` with NULLs)
         df = df.sort_values(["conv_id", "turn_idx", "role", "text"], kind="mergesort")
         df = df.assign(
-            _empty=df["text"].fillna("").str.strip().eq("").astype("int64"),
+            _empty=df["text"].str.strip().eq("").fillna(False).astype("int64"),
             _rep=(
                 df["role"].eq(df["role"].shift()) & df["conv_id"].eq(df["conv_id"].shift())
             ).astype("int64"),
@@ -66,12 +71,26 @@ def validate_transcripts(
             _mx=("turn_idx", "max"),
             n_empty_turns=("_empty", "sum"),
             n_role_repeats=("_rep", "sum"),
-            starts_role=("role", "first"),
         ).reset_index()
+        # positional first row per conv (keeps a NULL role, unlike
+        # groupby-first which would skip it)
+        starts = df.drop_duplicates("conv_id")[["conv_id", "role"]].rename(
+            columns={"role": "starts_role"}
+        )
+        out = out.merge(starts, on="conv_id", how="left")
         out["dup_turn_idx"] = (out["n_turns"] - out["n_idx"]).astype("int64")
-        out["idx_gaps"] = (
-            out["_mx"].astype("int64") - out["_mn"].astype("int64") + 1 - out["n_idx"]
-        ).astype("int64")
+        # all-NULL turn_idx → no usable range: report 0 gaps rather
+        # than crashing on the malformed input this report exists for
+        span_ok = out["_mx"].notna() & out["_mn"].notna()
+        gaps = pd.Series(0, index=out.index, dtype="int64")
+        if span_ok.any():
+            gaps[span_ok] = (
+                out.loc[span_ok, "_mx"].astype("int64")
+                - out.loc[span_ok, "_mn"].astype("int64")
+                + 1
+                - out.loc[span_ok, "n_idx"]
+            ).astype("int64")
+        out["idx_gaps"] = gaps
         for c in ("n_turns", "n_roles", "n_empty_turns", "n_role_repeats"):
             out[c] = out[c].astype("int64")
         return out[
@@ -135,7 +154,10 @@ def pack_chat_sequences(
         out = pd.DataFrame(
             {
                 "conv_id": df["conv_id"].to_numpy(),
-                "turn_idx": df["turn_idx"].astype("int64").to_numpy(),
+                # nullable Int64: a NULL turn_idx (malformed input)
+                # sorts last and stays NULL instead of crashing the
+                # int cast; the token layout is still well-defined
+                "turn_idx": df["turn_idx"].astype("Int64").reset_index(drop=True),
                 "seq_start": cum.astype("int64"),
                 "n_tokens": n,
                 "loss_mask": df["role"].isin(roles).astype("int64").to_numpy(),
@@ -168,8 +190,9 @@ def boilerplate_turns(
     def _local(df: pd.DataFrame):
         import pyarrow as pa
 
+        # dropna=False: NULL-text turns form a group like SQL GROUP BY
         g = (
-            df.groupby(["text", "conv_id"], sort=False)
+            df.groupby(["text", "conv_id"], sort=False, dropna=False)
             .size()
             .reset_index(name="_cnt")
         )
@@ -180,7 +203,7 @@ def boilerplate_turns(
     )
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("text", sort=False).agg(
+        g = df.groupby("text", sort=False, dropna=False).agg(
             n_occurrences=("_cnt", "sum"), n_convs=("conv_id", "nunique")
         )
         g = g[g["n_occurrences"] >= min_count].reset_index()

@@ -291,3 +291,15 @@ def md5_leading_byte(values: list) -> np.ndarray:
         res[lo : lo + chunk] = a0 + a
     out[short] = (res & np.uint32(0xFF)).astype(np.uint8)
     return out
+
+
+def sorted_member(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``needles`` in a SORTED ``haystack``
+    (clamped ``searchsorted`` + equality).  The shared idiom for every
+    broadcast-sorted-array probe (base-corpus membership, bench-gram
+    decontamination, sampling filters) — the clamping is subtle enough
+    that hand-rolled copies drift."""
+    if haystack.size == 0:
+        return np.zeros(needles.shape, dtype=bool)
+    idx = np.minimum(np.searchsorted(haystack, needles), haystack.size - 1)
+    return haystack[idx] == needles

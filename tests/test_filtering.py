@@ -153,3 +153,18 @@ def test_chunk_documents_property_vs_reference():
         assert got == expect
 
     run()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_string_ids():
+    import ray.data as rd
+
+    bench = rd.from_items([{"doc_id": "b1", "text": "one two three four five"}])
+    corpus = rd.from_items(
+        [
+            {"doc_id": "d1", "text": "zzz one two three four yyy"},
+            {"doc_id": "d2", "text": "nothing shared at all here now"},
+        ]
+    )
+    out = decontaminate(corpus, bench, n=4).to_pandas()
+    assert list(out.doc_id) == ["d1"] and list(out.n_contaminated) == [1]

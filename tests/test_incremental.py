@@ -120,3 +120,25 @@ def test_incremental_workdir_reuses_base_signatures(tmp_path):
     key = lambda df: sorted(map(tuple, df[["src", "dst"]].to_numpy()))
     assert key(r1) == key(r2) == key(ref)
     assert ("0", "1") in key(ref)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_workdir_refuses_stale_base(tmp_path):
+    """A changed base corpus must invalidate the checkpoint lineage —
+    pairs against base docs added after the first run must appear."""
+    base_v1 = _docs([(0, "alpha beta gamma delta epsilon " * 5)])
+    wd = str(tmp_path / "ckpt")
+    new = _docs([(1, "totally unrelated new content here " * 5)])
+    r1 = incremental_dedup_pairs(new, base_v1, workdir=wd).to_pandas()
+    assert len(r1) == 0
+
+    # v2 base gains doc 2, a near-dup of the new doc 1
+    base_v2 = _docs(
+        [
+            (0, "alpha beta gamma delta epsilon " * 5),
+            (2, "totally unrelated new content here " * 5 + "tail"),
+        ]
+    )
+    r2 = incremental_dedup_pairs(new, base_v2, workdir=wd).to_pandas()
+    got = {tuple(r) for r in r2[["src", "dst"]].itertuples(index=False)}
+    assert ("1", "2") in got, "stale base checkpoint was silently reused"

@@ -127,3 +127,36 @@ def test_boilerplate_turns_counts(ray_session):
     assert list(out.index) == ["ok", "you are helpful"]
     assert list(out.loc["you are helpful"]) == [5, 5]
     assert list(out.loc["ok"]) == [2, 1]  # twice, in one conversation
+
+
+def test_null_robustness(ray_session):
+    """NULL text / turn_idx must not crash and must mirror SQL
+    semantics (NULL text is not 'empty'; NULL idx sorts last)."""
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, None, 0, 1, 2], pa.int32()),
+            "role": pa.array(["user", "assistant", None, "user", "user", "user"]),
+            "text": pa.array(["hi", None, "late", None, None, None], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    from fuzzy_matching_ray.extras.transcripts import (
+        boilerplate_turns,
+        pack_chat_sequences,
+        validate_transcripts,
+    )
+
+    v = validate_transcripts(ds, num_partitions=2).to_pandas().set_index("conv_id")
+    assert v.loc["a", "n_empty_turns"] == 0  # NULL text is not empty
+    assert v.loc["a", "dup_turn_idx"] == 1  # the NULL idx row
+    assert v.loc["a", "starts_role"] == "user"
+    assert v.loc["b", "n_role_repeats"] == 2
+
+    p = pack_chat_sequences(ds, num_partitions=2).to_pandas()
+    assert len(p) == 6 and p["turn_idx"].isna().sum() == 1
+
+    b = boilerplate_turns(ds, min_count=3, num_partitions=2).to_pandas()
+    assert len(b) == 1 and pd.isna(b.iloc[0]["text"])  # the NULL-text group
+    assert b.iloc[0]["n_occurrences"] == 4 and b.iloc[0]["n_convs"] == 2
