@@ -722,6 +722,37 @@ def _q_orders_customer_join(sf_dir: str):
     )
 
 
+def _q_customer_order_counts(sf_dir: str):
+    """Left-outer native hash join against a pre-aggregated side:
+    customers with zero orders survive with n_orders = 0.  The
+    aggregate runs BEFORE the join (combiner-first), so the exchange
+    moves one row per customer, not one per order."""
+    import pyarrow.compute as pc
+
+    orders = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey"])
+        .groupby("o_custkey")
+        .count()
+    )
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    joined = cust.join(
+        orders, "left_outer", 16, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def _fin(b):
+        cnt = b["count()"] if "count()" in b.column_names else b["count"]
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_name": b["c_name"],
+                "n_orders": pc.fill_null(cnt.cast(pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(_fin, batch_format="pyarrow")
+
+
 def _q_events_sessionize(sf_dir: str):
     from fuzzy_matching_ray.extras.relational import sessionize
 
@@ -815,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_parts": _q_suppliers_with_parts,
         "events_hourly": _q_events_hourly,
         "orders_customer_join": _q_orders_customer_join,
+        "customer_order_counts": _q_customer_order_counts,
         # custom relational operators (as-of join / window / sampling)
         "events_sessionize": _q_events_sessionize,
         "orders_topk_per_cust": _q_orders_topk_per_cust,
@@ -1063,6 +1095,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_top10": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "customer_order_counts": (
+            "SELECT c_custkey, c_name, coalesce(o.cnt, 0)::BIGINT AS n_orders "
+            "FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS cnt "
+            "FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey"
         ),
         "customer_per_nation": (
             "SELECT n_name, count(*)::BIGINT AS n_customers FROM customer "
