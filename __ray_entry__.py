@@ -537,6 +537,23 @@ def _q_token_heavy_hitters(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms.  Global document frequencies are a
+    map-side partial + one-remote-reduce broadcast; ranking key is one
+    IEEE double division so the SQL oracle orders identically."""
+    from fuzzy_matching_ray.extras.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
+def _q_rare_token_stats(sf_dir: str):
+    """Corpus-aware rarity signal (hapax counts per doc) — the quality
+    dimension doc-local stats can't see; all-integer output."""
+    from fuzzy_matching_ray.extras.tfidf import rare_token_stats
+
+    return rare_token_stats(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def _q_approx_ndistinct(sf_dir: str):
     """HLL distinct-user estimate per event type.  Rows-only by
     contract (a sketch estimate has no SQL-exact mirror); accuracy is
@@ -873,6 +890,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
         "curate_documents": _q_curate_documents,
+        # corpus-aware term weighting (global-DF broadcast, no token shuffle)
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "rare_token_stats": _q_rare_token_stats,
     }
 
 
@@ -1305,6 +1325,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM t "
             "GROUP BY token HAVING count(*) >= 100"
+        ),
+        "tfidf_top_terms": (
+            # ranking key tf*1.0/df is ONE exactly-rounded double
+            # division — identical to the numpy kernel's tf/df
+            "WITH t AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
+            "FROM t GROUP BY doc_id, term), "
+            "dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+            "FROM t GROUP BY term), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * 1.0 / dfx.df DESC, tf.term ASC) AS rn "
+            "FROM tf JOIN dfx USING (term)) "
+            "SELECT doc_id, term, tf, df, rn::BIGINT AS term_rank "
+            "FROM s WHERE rn <= 3"
+        ),
+        "rare_token_stats": (
+            "WITH t AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
+            "FROM t GROUP BY doc_id, term), "
+            "dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+            "FROM t GROUP BY term), "
+            "agg AS (SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens, "
+            "sum(CASE WHEN dfx.df <= 1 THEN tf.tf ELSE 0 END)::BIGINT AS n_rare, "
+            "sum(CASE WHEN dfx.df <= 1 THEN 1 ELSE 0 END)::BIGINT AS n_distinct_rare "
+            "FROM tf JOIN dfx USING (term) GROUP BY tf.doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens, "
+            "coalesce(a.n_rare, 0)::BIGINT AS n_rare, "
+            "coalesce(a.n_distinct_rare, 0)::BIGINT AS n_distinct_rare "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "multimodal_frames": (
             # frame math over the fake codec: payload = utf8 bytes of
