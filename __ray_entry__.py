@@ -554,6 +554,19 @@ def _q_rare_token_stats(sf_dir: str):
     return rare_token_stats(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def _q_events_pivot(sf_dir: str):
+    """User × event-type count matrix (wide feature vectors): the
+    exchange carries per-batch (user, type) pair counts, never events."""
+    from fuzzy_matching_ray.extras.aggregates import pivot_counts
+
+    return pivot_counts(
+        _read(sf_dir, "events").select_columns(["user_id", "event_type"]),
+        key_col="user_id",
+        pivot_col="event_type",
+        categories=("click", "error", "purchase", "signup", "view"),
+    )
+
+
 def _q_approx_ndistinct(sf_dir: str):
     """HLL distinct-user estimate per event type.  Rows-only by
     contract (a sketch estimate has no SQL-exact mirror); accuracy is
@@ -893,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-aware term weighting (global-DF broadcast, no token shuffle)
         "tfidf_top_terms": _q_tfidf_top_terms,
         "rare_token_stats": _q_rare_token_stats,
+        "events_pivot": _q_events_pivot,
     }
 
 
@@ -1325,6 +1339,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM t "
             "GROUP BY token HAVING count(*) >= 100"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click')::BIGINT AS n_click, "
+            "count(*) FILTER (event_type = 'error')::BIGINT AS n_error, "
+            "count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase, "
+            "count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup, "
+            "count(*) FILTER (event_type = 'view')::BIGINT AS n_view, "
+            "count(*)::BIGINT AS n_total "
+            "FROM events GROUP BY user_id"
         ),
         "tfidf_top_terms": (
             # ranking key tf*1.0/df is ONE exactly-rounded double

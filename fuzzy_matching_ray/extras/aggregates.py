@@ -51,6 +51,52 @@ def token_heavy_hitters(
     return bucketed_group_apply(partial, "token", _final, num_partitions)
 
 
+def pivot_counts(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    pivot_col: str,
+    categories: tuple[str, ...],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Wide pivot: one row per ``key_col`` with a count column per
+    ``categories`` value of ``pivot_col`` plus ``n_total`` — the
+    feature-vector layout (user × event-type counts) a training
+    pipeline derives from event logs.
+
+    Scale shape: each batch pre-aggregates ``(key, pivot, n)`` (one
+    row per distinct pair per batch), so the single shuffle carries
+    pair-counts, never events; the per-bucket pivot is an ``unstack``
+    over already-combined counts.  Unlisted pivot values still count
+    toward ``n_total`` (mirroring SQL ``count(*)``)."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby([key_col, pivot_col], sort=False, observed=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        sums = (
+            df.groupby([key_col, pivot_col], sort=True, observed=True)["n"]
+            .sum()
+            .unstack(fill_value=0)
+        )
+        out = pd.DataFrame({key_col: sums.index.to_numpy()})
+        for c in categories:
+            col = sums[c] if c in sums.columns else pd.Series(0, index=sums.index)
+            out[f"n_{c}"] = col.to_numpy(np.int64)
+        out["n_total"] = sums.sum(axis=1).to_numpy(np.int64)
+        return out
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return bucketed_group_apply(partial, key_col, _final, num_partitions)
+
+
 _HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 

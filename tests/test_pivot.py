@@ -1,0 +1,33 @@
+"""pivot_counts: unlisted pivot values must land in n_total only, and
+partial counts must combine across batches."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from fuzzy_matching_ray.extras.aggregates import pivot_counts
+
+
+def test_pivot_counts_combines_and_totals():
+    df = pd.DataFrame(
+        {
+            "u": ["a"] * 4 + ["b"] * 2,
+            "t": ["x", "x", "y", "zzz", "y", "zzz"],  # zzz unlisted
+        }
+    )
+    out = (
+        pivot_counts(
+            rd.from_pandas(df).repartition(3),  # force multi-batch partials
+            key_col="u",
+            pivot_col="t",
+            categories=("x", "y"),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("u")
+        .sort_index()
+    )
+    assert out.loc["a"].tolist() == [2, 1, 4]  # n_x, n_y, n_total
+    assert out.loc["b"].tolist() == [0, 1, 2]
+    assert out.columns.tolist() == ["n_x", "n_y", "n_total"]
