@@ -673,6 +673,26 @@ def _q_validate_transcripts(sf_dir: str):
     return validate_transcripts(rd.read_parquet(_transcripts_dir(sf_dir)))
 
 
+def _q_loop_stats_transcripts(sf_dir: str):
+    """Agent-loop detection: adjacent identical (role, normalized
+    text) turns per conversation, plus the longest such run."""
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.transcripts import loop_stats_transcripts
+
+    return loop_stats_transcripts(rd.read_parquet(_transcripts_dir(sf_dir)))
+
+
+def _q_tool_stats_transcripts(sf_dir: str):
+    """Tool-usage profile per conversation (deterministic mode with
+    count DESC / tool ASC tiebreak)."""
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.transcripts import tool_stats_transcripts
+
+    return tool_stats_transcripts(rd.read_parquet(_transcripts_dir(sf_dir)))
+
+
 def _q_cluster_safe_split(sf_dir: str):
     """Leakage-free train/val split: near-dup clusters assigned
     wholesale by md5(cluster_id) prefix."""
@@ -895,6 +915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": _q_repetition_stats,
         "stratified_sample_documents": _q_stratified_sample,
         "validate_transcripts": _q_validate_transcripts,
+        "loop_stats_transcripts": _q_loop_stats_transcripts,
+        "tool_stats_transcripts": _q_tool_stats_transcripts,
         "pack_chat_sequences": _q_pack_chat,
         "cluster_safe_split": _q_cluster_safe_split,
         "boilerplate_turns": _q_boilerplate_turns,
@@ -923,6 +945,8 @@ FIXTURE_ORACLE_QUERIES = frozenset(
         "fingerprint_documents",
         "assemble_docs",
         "validate_transcripts",
+        "loop_stats_transcripts",
+        "tool_stats_transcripts",
         "pack_chat_sequences",
         "boilerplate_turns",
         "record_match_persons",
@@ -1290,6 +1314,42 @@ def oracle_sql() -> dict[str, str]:
             "unnest(list_transform(range(0, len(w), 8), "
             "s -> array_to_string(w[(s + 1)::INT : least(s + 32, len(w))::INT], ' '))) AS chunk_text "
             "FROM w WHERE len(w) > 0"
+        ),
+        "loop_stats_transcripts": (
+            "WITH t AS (SELECT conv_id, turn_idx, role, text, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm "
+            f"FROM read_parquet('{_CACHE_ROOT}/transcripts_sf0.01/turns/*.parquet')), "
+            "o AS (SELECT conv_id, role, norm, "
+            "CASE WHEN role = lag(role) OVER w AND norm = lag(norm) OVER w "
+            "THEN 1 ELSE 0 END AS rep, row_number() OVER w AS rn FROM t "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role, text)), "
+            "runs AS (SELECT conv_id, rn - row_number() OVER ("
+            "PARTITION BY conv_id, role, norm ORDER BY rn) AS grp, role, norm FROM o), "
+            "rl AS (SELECT conv_id, count(*)::BIGINT AS runlen "
+            "FROM runs GROUP BY conv_id, grp, role, norm), "
+            "a AS (SELECT conv_id, count(*)::BIGINT AS n_turns, "
+            "sum(rep)::BIGINT AS n_adjacent_repeats FROM o GROUP BY conv_id), "
+            "m AS (SELECT conv_id, max(runlen)::BIGINT AS max_run FROM rl GROUP BY conv_id) "
+            "SELECT a.conv_id, n_turns, n_adjacent_repeats, max_run "
+            "FROM a JOIN m USING (conv_id)"
+        ),
+        "tool_stats_transcripts": (
+            "WITH t AS (SELECT conv_id, coalesce(tool, '') AS tool "
+            f"FROM read_parquet('{_CACHE_ROOT}/transcripts_sf0.01/turns/*.parquet')), "
+            "a AS (SELECT conv_id, count(*)::BIGINT AS n_turns FROM t GROUP BY conv_id), "
+            "u AS (SELECT conv_id, tool, count(*)::BIGINT AS n FROM t "
+            "WHERE tool <> '' GROUP BY conv_id, tool), "
+            "agg AS (SELECT conv_id, sum(n)::BIGINT AS n_tool_turns, "
+            "count(*)::BIGINT AS n_distinct_tools FROM u GROUP BY conv_id), "
+            "top AS (SELECT conv_id, tool AS top_tool, n AS top_tool_count, "
+            "row_number() OVER (PARTITION BY conv_id ORDER BY n DESC, tool ASC) AS rn FROM u) "
+            "SELECT a.conv_id, a.n_turns, "
+            "coalesce(agg.n_tool_turns, 0)::BIGINT AS n_tool_turns, "
+            "coalesce(agg.n_distinct_tools, 0)::BIGINT AS n_distinct_tools, "
+            "coalesce(tp.top_tool, '') AS top_tool, "
+            "coalesce(tp.top_tool_count, 0)::BIGINT AS top_tool_count "
+            "FROM a LEFT JOIN agg USING (conv_id) "
+            "LEFT JOIN (SELECT * FROM top WHERE rn = 1) tp USING (conv_id)"
         ),
         "boilerplate_turns": (
             "SELECT text, count(*)::BIGINT AS n_occurrences, "

@@ -11,6 +11,7 @@ bucket — no per-conversation Python.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -107,6 +108,137 @@ def validate_transcripts(
         ]
 
     return bucketed_group_apply(slim, "conv_id", _val, num_partitions)
+
+
+def loop_stats_transcripts(
+    turns: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Agent-loop detection per conversation: an agent stuck in a loop
+    emits (near-)identical turns back to back.  Reports, per conv:
+
+    - ``n_turns``
+    - ``n_adjacent_repeats`` — adjacent turns with the same role AND
+      the same normalized text (lower, whitespace-collapsed, trimmed)
+    - ``max_run`` — longest run of identical consecutive (role, norm)
+      turns (≥1 for any non-empty conv)
+
+    Adjacency is defined on the deterministic order
+    ``(turn_idx, role, text)`` — same contract as
+    :func:`validate_transcripts` — and the normalization is the exact
+    dual of DuckDB ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``.
+    One conv_id-bucketed shuffle; per-bucket kernel is fully
+    vectorized (shift-compare + run-id cumsum, no per-conv loop)."""
+
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    slim = turns.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+    def _loops(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "n_turns": pd.Series(dtype="int64"),
+                    "n_adjacent_repeats": pd.Series(dtype="int64"),
+                    "max_run": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["conv_id", "turn_idx", "role", "text"], kind="mergesort")
+        norm = (
+            df["text"]
+            .fillna("")
+            .astype(str)
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        same = (
+            df["conv_id"].eq(df["conv_id"].shift())
+            & df["role"].eq(df["role"].shift())
+            & norm.eq(norm.shift())
+        ).to_numpy()
+        run_id = np.cumsum(~same)  # new run wherever adjacency breaks
+        runs = pd.DataFrame({"conv_id": df["conv_id"].to_numpy(), "run": run_id})
+        run_len = runs.groupby("run", sort=False).agg(
+            conv_id=("conv_id", "first"), length=("run", "size")
+        )
+        out = run_len.groupby("conv_id", sort=False)["length"].max().rename("max_run")
+        g = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "_rep": same.astype(np.int64),
+            }
+        ).groupby("conv_id", sort=False)
+        res = g.agg(n_turns=("_rep", "size"), n_adjacent_repeats=("_rep", "sum")).reset_index()
+        res = res.merge(out.reset_index(), on="conv_id")
+        for c in ("n_turns", "n_adjacent_repeats", "max_run"):
+            res[c] = res[c].astype("int64")
+        return res[["conv_id", "n_turns", "n_adjacent_repeats", "max_run"]]
+
+    return bucketed_group_apply(slim, "conv_id", _loops, num_partitions)
+
+
+def tool_stats_transcripts(
+    turns: ray.data.Dataset, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Tool-usage profile per conversation (agent transcripts):
+    ``(conv_id, n_turns, n_tool_turns, n_distinct_tools, top_tool,
+    top_tool_count)`` where ``top_tool`` is the most frequent
+    non-empty tool (ties → lexicographically smallest; '' when the
+    conv never calls a tool).  All-integer counts + one string."""
+
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    slim = turns.select_columns(["conv_id", "tool"])
+
+    def _tools(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "n_turns": pd.Series(dtype="int64"),
+                    "n_tool_turns": pd.Series(dtype="int64"),
+                    "n_distinct_tools": pd.Series(dtype="int64"),
+                    "top_tool": pd.Series(dtype=object),
+                    "top_tool_count": pd.Series(dtype="int64"),
+                }
+            )
+        tool = df["tool"].fillna("")
+        base = pd.DataFrame({"conv_id": df["conv_id"].to_numpy(), "tool": tool.to_numpy()})
+        g = base.groupby("conv_id", sort=False)
+        out = g.agg(n_turns=("tool", "size")).reset_index()
+        used = base[base["tool"] != ""]
+        per_tool = (
+            used.groupby(["conv_id", "tool"], sort=False).size().rename("n").reset_index()
+        )
+        agg = per_tool.groupby("conv_id", sort=False).agg(
+            n_tool_turns=("n", "sum"), n_distinct_tools=("tool", "nunique")
+        )
+        # mode with deterministic tiebreak: count DESC, tool ASC
+        per_tool = per_tool.sort_values(
+            ["conv_id", "n", "tool"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = per_tool.drop_duplicates("conv_id").rename(
+            columns={"tool": "top_tool", "n": "top_tool_count"}
+        )
+        out = out.merge(agg.reset_index(), on="conv_id", how="left").merge(
+            top, on="conv_id", how="left"
+        )
+        out["top_tool"] = out["top_tool"].fillna("")
+        for c in ("n_turns", "n_tool_turns", "n_distinct_tools", "top_tool_count"):
+            out[c] = out[c].fillna(0).astype("int64")
+        return out[
+            [
+                "conv_id",
+                "n_turns",
+                "n_tool_turns",
+                "n_distinct_tools",
+                "top_tool",
+                "top_tool_count",
+            ]
+        ]
+
+    return bucketed_group_apply(slim, "conv_id", _tools, num_partitions)
 
 
 def pack_chat_sequences(
