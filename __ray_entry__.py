@@ -138,6 +138,23 @@ def _q_dedup_cluster_reps(sf_dir: str):
     return dedup_transcripts(turns, _pipeline_cfg()).representatives
 
 
+def _q_dedup_cluster_sizes(sf_dir: str):
+    """Cluster-size distribution of the flagship output — the dedup
+    reporting view (how much mass sits in big near-dup families).
+    Oracle: the same histogram over the brute-force golden clusters."""
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.aggregates import group_size_histogram
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    _ensure_golden(sf_dir)
+    turns = rd.read_parquet(_transcripts_dir(sf_dir))
+    clusters = dedup_transcripts(turns, _pipeline_cfg()).clusters
+    return group_size_histogram(
+        clusters, key_col="cluster_id", size_name="cluster_size", count_name="n_clusters"
+    )
+
+
 def _q_dedup_simhash_clusters(sf_dir: str):
     import ray.data as rd
 
@@ -856,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcripts pipeline (non-SQL: LSH/sketches/union-find)
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_cluster_reps": _q_dedup_cluster_reps,
         "dedup_simhash_clusters": _q_dedup_simhash_clusters,
         "dedup_substring_edges": _q_substring_pairs,
@@ -939,6 +957,7 @@ FIXTURE_ORACLE_SF = "sf0.01"
 FIXTURE_ORACLE_QUERIES = frozenset(
     {
         "dedup_minhash_clusters",
+        "dedup_cluster_sizes",
         "dedup_cluster_reps",
         "dedup_simhash_clusters",
         "dedup_substring_edges",
@@ -976,6 +995,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_cluster_reps": (
             f"SELECT * FROM read_parquet('{_CACHE_ROOT}/flagship_golden_sf0.01/reps.parquet')"
+        ),
+        "dedup_cluster_sizes": (
+            "SELECT size AS cluster_size, count(*)::BIGINT AS n_clusters "
+            "FROM (SELECT cluster_id, count(*)::BIGINT AS size "
+            f"FROM read_parquet('{_CACHE_ROOT}/flagship_golden_sf0.01/clusters.parquet') "
+            "GROUP BY cluster_id) GROUP BY size"
         ),
         "dedup_simhash_clusters": (
             # serial golden (fixtures.ensure_simhash_golden): independent

@@ -97,6 +97,46 @@ def pivot_counts(
     return bucketed_group_apply(partial, key_col, _final, num_partitions)
 
 
+def group_size_histogram(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    size_name: str = "group_size",
+    count_name: str = "n_groups",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Distribution of group sizes: ``(group_size, n_groups)``.
+
+    The dedup reporting primitive (cluster-size histogram): two-level
+    exact aggregation where BOTH exchanges carry combined partials —
+    per-batch ``(key, n)`` counts into the key-bucketed shuffle, then
+    per-bucket size histograms into a final tiny groupby whose
+    cardinality is the number of DISTINCT sizes, not keys."""
+
+    def _key_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[key_col].value_counts()
+        return pd.DataFrame(
+            {key_col: vc.index.to_numpy(), "n": vc.to_numpy(np.int64)}
+        )
+
+    def _sizes(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(key_col, sort=False)["n"].sum()
+        vc = sizes.value_counts()  # bucket-local histogram partial
+        return pd.DataFrame(
+            {size_name: vc.index.to_numpy(np.int64), count_name: vc.to_numpy(np.int64)}
+        )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(size_name, sort=True)[count_name].sum()
+        return pd.DataFrame(
+            {size_name: g.index.to_numpy(np.int64), count_name: g.to_numpy(np.int64)}
+        )
+
+    partial = ds.map_batches(_key_partial, batch_format="pandas")
+    per_key = bucketed_group_apply(partial, key_col, _sizes, num_partitions)
+    return bucketed_group_apply(per_key, size_name, _merge, 8)
+
+
 _HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 

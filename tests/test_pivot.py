@@ -9,6 +9,21 @@ import ray.data as rd
 from fuzzy_matching_ray.extras.aggregates import pivot_counts
 
 
+def test_group_size_histogram():
+    from fuzzy_matching_ray.extras.aggregates import group_size_histogram
+
+    df = pd.DataFrame({"k": ["a"] * 3 + ["b"] * 3 + ["c"] * 1 + ["d"] * 2})
+    out = (
+        group_size_histogram(
+            rd.from_pandas(df).repartition(3), key_col="k", num_partitions=2
+        )
+        .to_pandas()
+        .set_index("group_size")["n_groups"]
+        .sort_index()
+    )
+    assert out.to_dict() == {1: 1, 2: 1, 3: 2}
+
+
 def test_pivot_counts_combines_and_totals():
     df = pd.DataFrame(
         {
