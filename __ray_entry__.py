@@ -287,6 +287,14 @@ def _q_minhash_dedup_documents(sf_dir: str):
     return minhash_dedup_docs(_read(sf_dir, "documents"))
 
 
+def _q_dedup_rate_by_source(sf_dir: str):
+    """Per-source dedup dashboard: cluster labels attach to the source
+    column via the native hash join, then combiner-first group counts."""
+    from fuzzy_matching_ray.extras.doc_dedup import dedup_rate_by_group
+
+    return dedup_rate_by_group(_read(sf_dir, "documents"), group_col="source")
+
+
 def _q_embedding_cosine_pairs(sf_dir: str):
     from fuzzy_matching_ray.extras.doc_dedup import embedding_cosine_pairs
 
@@ -874,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship transcripts pipeline (non-SQL: LSH/sketches/union-find)
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         "dedup_cluster_reps": _q_dedup_cluster_reps,
         "dedup_simhash_clusters": _q_dedup_simhash_clusters,
         "dedup_substring_edges": _q_substring_pairs,
@@ -1083,6 +1092,28 @@ def oracle_sql() -> dict[str, str]:
             "reach(a, b) AS (SELECT id, id FROM sh UNION "
             "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src) "
             "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"
+        ),
+        "dedup_rate_by_source": (
+            # the minhash_dedup_documents components oracle + per-source
+            # kept/removed rollup (kept = min-id representative)
+            "WITH RECURSIVE canon AS ("
+            "SELECT doc_id::VARCHAR AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t "
+            "FROM documents), "
+            "sh AS (SELECT id, CASE WHEN length(t) < 5 THEN [t] "
+            "ELSE list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i::INT, 5))) END AS s "
+            "FROM canon), "
+            "e AS (SELECT a.id AS src, b.id AS dst "
+            "FROM sh a JOIN sh b ON a.id < b.id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7), "
+            "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), "
+            "reach(a, b) AS (SELECT id, id FROM sh UNION "
+            "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src), "
+            "lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a), "
+            "j AS (SELECT d.source, CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END AS kept "
+            "FROM documents d JOIN lab l ON d.doc_id::VARCHAR = l.id) "
+            "SELECT source, count(*)::BIGINT AS n_docs, sum(kept)::BIGINT AS n_kept, "
+            "(count(*) - sum(kept))::BIGINT AS n_removed FROM j GROUP BY source"
         ),
         "cluster_safe_split": (
             # the minhash_dedup_documents components oracle + a

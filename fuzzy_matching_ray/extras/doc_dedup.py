@@ -95,6 +95,65 @@ def minhash_dedup_docs(
     )
 
 
+def dedup_rate_by_group(
+    ds: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-``group_col`` dedup report over the MinHash/LSH clusters:
+    ``(group, n_docs, n_kept, n_removed)`` where a doc is *kept* iff it
+    is its cluster's deterministic min-id representative.
+
+    The curation dashboard view ("which sources are mostly dupes?").
+    Scale shape: cluster labels attach to the group column through
+    Ray Data's native hash join (both sides partitioned — no broadcast,
+    either side may exceed worker memory), then per-batch partial
+    (group, kept) counts flow into a tiny final groupby whose
+    cardinality is the number of groups."""
+    import numpy as np
+
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    labels = minhash_dedup_docs(ds, cfg, id_col, text_col)
+
+    def _slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col].cast(pa.string()),  # label ids are strings
+                "grp": b[group_col].cast(pa.string()),
+            }
+        )
+
+    slim = ds.map_batches(_slim, batch_format="pyarrow")
+    joined = labels.join(slim, "inner", num_partitions, on=(id_col,))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        kept = (df[id_col] == df["cluster_id"]).astype(np.int64)
+        g = pd.DataFrame({"grp": df["grp"], "kept": kept}).groupby("grp", sort=False)
+        out = g.agg(n_docs=("kept", "size"), n_kept=("kept", "sum")).reset_index()
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("grp", sort=True).agg(
+            n_docs=("n_docs", "sum"), n_kept=("n_kept", "sum")
+        )
+        return pd.DataFrame(
+            {
+                group_col: g.index.to_numpy(dtype=object),
+                "n_docs": g["n_docs"].to_numpy(np.int64),
+                "n_kept": g["n_kept"].to_numpy(np.int64),
+                "n_removed": (g["n_docs"] - g["n_kept"]).to_numpy(np.int64),
+            }
+        )
+
+    partial = joined.map_batches(_partial, batch_format="pandas")
+    return bucketed_group_apply(partial, "grp", _final, 8)
+
+
 def simhash_dedup_docs(
     ds: ray.data.Dataset,
     cfg: PipelineConfig | None = None,

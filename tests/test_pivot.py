@@ -9,6 +9,28 @@ import ray.data as rd
 from fuzzy_matching_ray.extras.aggregates import pivot_counts
 
 
+def test_dedup_rate_by_group():
+    from fuzzy_matching_ray.extras.doc_dedup import dedup_rate_by_group
+
+    dup = "the same long conversation text repeated verbatim for dedup " * 5
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [dup, dup, "a unique first text here", dup, "another unique one"],
+            "source": ["s1", "s1", "s1", "s2", "s2"],
+        }
+    )
+    out = (
+        dedup_rate_by_group(rd.from_pandas(df), group_col="source")
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    # cluster {1,2,4} keeps min-id "1"; 3 and 5 are singletons
+    assert out.loc["s1"].tolist() == [3, 2, 1]  # n_docs, n_kept, n_removed
+    assert out.loc["s2"].tolist() == [2, 1, 1]
+
+
 def test_group_size_histogram():
     from fuzzy_matching_ray.extras.aggregates import group_size_histogram
 
