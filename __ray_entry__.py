@@ -592,6 +592,19 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_length_deciles(sf_dir: str):
+    """Exact global decile buckets over doc lengths WITHOUT a global
+    sort (histogram combine + one remote cutpoint reduce + broadcast
+    searchsorted assignment)."""
+    from fuzzy_matching_ray.extras.aggregates import quantile_bucket_assign
+
+    return quantile_bucket_assign(
+        _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"]),
+        id_col="doc_id",
+        val_col="n_chars",
+    )
+
+
 def _q_approx_ndistinct(sf_dir: str):
     """HLL distinct-user estimate per event type.  Rows-only by
     contract (a sketch estimate has no SQL-exact mirror); accuracy is
@@ -956,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "rare_token_stats": _q_rare_token_stats,
         "events_pivot": _q_events_pivot,
+        "length_deciles_documents": _q_length_deciles,
     }
 
 
@@ -1455,6 +1469,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM t "
             "GROUP BY token HAVING count(*) >= 100"
+        ),
+        "length_deciles_documents": (
+            # quantile_disc cutpoints (rank ceil(q*n)) + strict-less count
+            "WITH cuts AS (SELECT quantile_disc(n_chars, "
+            "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c FROM documents) "
+            "SELECT d.doc_id, d.n_chars::BIGINT AS n_chars, "
+            "len(list_filter(cuts.c, x -> x < d.n_chars))::BIGINT AS decile "
+            "FROM documents d, cuts"
         ),
         "events_pivot": (
             "SELECT user_id, "

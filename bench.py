@@ -79,7 +79,8 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
                  "knn_bruteforce", "lineitem_agg", "events_hourly",
                  "events_asof_orders", "events_rolling_window", "sample_documents",
                  "redact_pii_documents", "decontaminate_documents",
-                 "repetition_stats_documents", "incremental_dedup_pairs"):
+                 "repetition_stats_documents", "incremental_dedup_pairs",
+                 "tfidf_top_terms"):
         fn = entrymod.queries()[name]
         t0 = time.time()
         out = fn(sf_dir)

@@ -137,6 +137,71 @@ def group_size_histogram(
     return bucketed_group_apply(per_key, size_name, _merge, 8)
 
 
+def quantile_bucket_assign(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    val_col: str,
+    qs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    out_col: str = "decile",
+) -> ray.data.Dataset:
+    """Assign every row its global quantile bucket WITHOUT a global
+    sort: ``(id, val, bucket)`` where ``bucket`` = number of exact
+    discrete-quantile cutpoints strictly below ``val`` (deciles by
+    default, 0..len(qs)).
+
+    Exact global order statistics by histogram combine: each batch
+    emits ``(value, count)`` partials (one row per distinct value per
+    batch), ONE remote reduce builds the global value histogram and
+    picks the ``quantile_disc`` cutpoints (element at rank
+    ``ceil(q·n)`` — same contract as ``grouped_quantiles``), and the
+    assignment pass probes the broadcast cutpoint array with
+    ``searchsorted``.  Assumes the value domain has moderate distinct
+    cardinality (lengths, scores, counts — the curation cases); an
+    unbounded continuous domain would need a mergeable quantile
+    sketch instead (t-digest / KLL), trading exactness."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[val_col].value_counts()
+        return pd.DataFrame(
+            {"v": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+        )
+
+    @ray.remote
+    def _cutpoints(*tables: pa.Table) -> np.ndarray:
+        frames = [t.to_pandas() for t in tables if t.num_rows and "v" in t.schema.names]
+        if not frames:
+            return np.empty(0, np.int64)
+        g = pd.concat(frames, ignore_index=True).groupby("v", sort=True)["n"].sum()
+        vals = g.index.to_numpy(np.int64)
+        cum = g.to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        ranks = np.ceil(np.asarray(qs, np.float64) * n).astype(np.int64)
+        idx = np.searchsorted(cum, ranks, side="left")
+        return vals[idx]
+
+    blocks = (
+        ds.select_columns([val_col])
+        .map_batches(_partial, batch_format="pandas")
+        .materialize()
+        .to_arrow_refs()
+    )
+    cuts_ref = _cutpoints.remote(*blocks)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cuts = ray.get(cuts_ref)
+        v = batch[val_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                val_col: v,
+                out_col: np.searchsorted(cuts, v, side="left").astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(_assign, batch_format="pandas")
+
+
 _HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 

@@ -9,6 +9,32 @@ import ray.data as rd
 from fuzzy_matching_ray.extras.aggregates import pivot_counts
 
 
+def test_quantile_bucket_assign_matches_duckdb():
+    import duckdb
+    import numpy as np
+
+    from fuzzy_matching_ray.extras.aggregates import quantile_bucket_assign
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 40, size=500)  # heavy ties stress rank picks
+    df = pd.DataFrame({"doc_id": np.arange(500), "n_chars": vals})
+    out = (
+        quantile_bucket_assign(
+            rd.from_pandas(df).repartition(5), id_col="doc_id", val_col="n_chars"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "WITH cuts AS (SELECT quantile_disc(n_chars, "
+        "[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c FROM df) "
+        "SELECT doc_id, len(list_filter(cuts.c, x -> x < d.n_chars))::BIGINT AS decile "
+        "FROM df d, cuts ORDER BY doc_id"
+    ).df()
+    assert (out["decile"].to_numpy() == exp["decile"].to_numpy()).all()
+
+
 def test_dedup_rate_by_group():
     from fuzzy_matching_ray.extras.doc_dedup import dedup_rate_by_group
 
