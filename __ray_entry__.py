@@ -592,6 +592,14 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_gram_novelty(sf_dir: str):
+    """Duplication attribution: per doc, distinct 4-grams already seen
+    in an earlier (smaller-id) doc.  Exchanges carry (id, hash) pairs."""
+    from fuzzy_matching_ray.extras.filtering import gram_novelty
+
+    return gram_novelty(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def _q_length_deciles(sf_dir: str):
     """Exact global decile buckets over doc lengths WITHOUT a global
     sort (histogram combine + one remote cutpoint reduce + broadcast
@@ -970,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_token_stats": _q_rare_token_stats,
         "events_pivot": _q_events_pivot,
         "length_deciles_documents": _q_length_deciles,
+        "gram_novelty_documents": _q_gram_novelty,
     }
 
 
@@ -1469,6 +1478,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM t "
             "GROUP BY token HAVING count(*) >= 100"
+        ),
+        "gram_novelty_documents": (
+            # string 4-grams (same construction as decontaminate),
+            # min-doc-id window decides "earlier"
+            "WITH w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')))) AS gram "
+            "FROM w WHERE len(w) >= 4), "
+            "m AS (SELECT gram, min(doc_id) AS md FROM g GROUP BY gram) "
+            "SELECT g.doc_id, count(*)::BIGINT AS n_grams, "
+            "sum(CASE WHEN m.md < g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams "
+            "FROM g JOIN m USING (gram) GROUP BY g.doc_id"
         ),
         "length_deciles_documents": (
             # quantile_disc cutpoints (rank ceil(q*n)) + strict-less count

@@ -174,6 +174,75 @@ def decontaminate(
     return ds.map_batches(_probe, batch_format="pyarrow")
 
 
+def gram_novelty(
+    ds: ray.data.Dataset,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Duplication *attribution*: of each document's DISTINCT word
+    ``n``-grams, how many already occur in an earlier document
+    (smaller id)?  ``(doc_id, n_grams, n_dup_grams)`` — the novelty
+    signal dedup dashboards report (a doc whose grams are mostly old
+    is boilerplate even when no single pair crosses the near-dup bar).
+
+    Scale shape: the corpus never re-reads — batches emit distinct
+    ``(doc_id, gram_hash)`` pairs (16 bytes/row), the first bucketed
+    shuffle groups by gram hash to find each gram's min doc id and
+    fold per-doc partial counts, the second sums partials per doc.
+    Earlier-than semantics follow the id order, so the operator is
+    deterministic and the SQL oracle (string grams + ``min(doc_id)``
+    window) hashes identically absent 64-bit gram collisions (see
+    ``_doc_gram_hashes``)."""
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ord, h = _doc_gram_hashes(batch[text_col].to_pandas(), n)
+        if h.size == 0:
+            return pa.table(
+                {"d": pa.array([], pa.int64()), "g": pa.array([], pa.uint64())}
+            )
+        pairs = np.unique(
+            np.stack([ids[doc_ord].astype(np.uint64), h], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "d": pa.array(pairs[:, 0].astype(np.int64), pa.int64()),
+                "g": pa.array(pairs[:, 1], pa.uint64()),
+            }
+        )
+
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+
+    def _per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("g", sort=False)["d"].transform("min")
+        dup = (df["d"] > first).to_numpy().astype(np.int64)
+        out = (
+            pd.DataFrame({"d": df["d"].to_numpy(), "dup": dup})
+            .groupby("d", sort=False)["dup"]
+            .agg(n_grams="size", n_dup_grams="sum")
+            .reset_index()
+        )
+        return out
+
+    partial = bucketed_group_apply(pairs, "g", _per_gram, num_partitions)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", sort=True)[["n_grams", "n_dup_grams"]].sum()
+        return pd.DataFrame(
+            {
+                id_col: g.index.to_numpy(np.int64),
+                "n_grams": g["n_grams"].to_numpy(np.int64),
+                "n_dup_grams": g["n_dup_grams"].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(partial, "d", _final, num_partitions)
+
+
 # --- repetition statistics (Gopher-style) ----------------------------------
 
 
