@@ -592,6 +592,16 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel per user (min-timestamp
+    semantics — row-order independent, SQL-mirrorable)."""
+    from fuzzy_matching_ray.extras.relational import funnel_stages
+
+    return funnel_stages(
+        _read(sf_dir, "events").select_columns(["user_id", "event_type", "ts"])
+    )
+
+
 def _q_gram_novelty(sf_dir: str):
     """Duplication attribution: per doc, distinct 4-grams already seen
     in an earlier (smaller-id) doc.  Exchanges carry (id, hash) pairs."""
@@ -979,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "length_deciles_documents": _q_length_deciles,
         "gram_novelty_documents": _q_gram_novelty,
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -1478,6 +1489,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM t "
             "GROUP BY token HAVING count(*) >= 100"
+        ),
+        "events_funnel": (
+            "WITH e AS (SELECT user_id, event_type, ts FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "s0 AS (SELECT user_id, min(ts) AS t0 FROM e "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s1 AS (SELECT e.user_id, min(ts) AS t1 FROM e JOIN s0 USING (user_id) "
+            "WHERE event_type = 'click' AND ts >= t0 GROUP BY e.user_id), "
+            "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id) "
+            "WHERE event_type = 'purchase' AND ts >= t1 GROUP BY e.user_id), "
+            "u AS (SELECT DISTINCT user_id FROM e) "
+            "SELECT u.user_id, (CASE WHEN s2.user_id IS NOT NULL THEN 3 "
+            "WHEN s1.user_id IS NOT NULL THEN 2 "
+            "WHEN s0.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_stages "
+            "FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id) "
+            "LEFT JOIN s2 USING (user_id)"
         ),
         "gram_novelty_documents": (
             # string 4-grams (same construction as decontaminate),

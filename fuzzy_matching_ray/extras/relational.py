@@ -354,6 +354,71 @@ def range_join(
     return bucketed_group_apply(rows, "key", _join, num_partitions)
 
 
+def funnel_stages(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis: ``(user, n_stages)`` where stage *k*
+    counts as reached iff an event of ``stages[k]`` occurs at-or-after
+    the time stage *k−1* was first reached (min-timestamp semantics
+    throughout, so the result is row-order independent and the SQL
+    mirror — chained ``min(ts) … WHERE ts >= prev`` joins — hashes
+    identically).
+
+    One user-bucketed shuffle carrying only ``(user, type, ts)`` rows
+    pre-filtered to funnel stages; inside each bucket the per-stage
+    reach times are ``len(stages)`` vectorized masked groupby-mins, no
+    per-user Python."""
+    stage_list = list(stages)
+
+    def _prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(b[type_col], value_set=pa.array(stage_list))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "u": b[user_col],
+                "t": b[type_col],
+                "ts": b[ts_col],
+            }
+        )
+
+    slim = ds.map_batches(_prep, batch_format="pyarrow")
+
+    def _funnel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series(dtype=object),
+                    "n_stages": pd.Series(dtype="int64"),
+                }
+            )
+        users = pd.Series(df["u"].unique())
+        n_stages = pd.Series(0, index=users, dtype="int64")
+        prev: pd.Series | None = None  # user → reach time of prior stage
+        for i, st in enumerate(stage_list):
+            sub = df[df["t"] == st]
+            if prev is not None:
+                bound = sub["u"].map(prev)
+                sub = sub[bound.notna() & (sub["ts"] >= bound)]
+            if sub.empty:
+                break
+            cur = sub.groupby("u")["ts"].min()
+            n_stages.loc[cur.index] = i + 1
+            prev = cur
+        return pd.DataFrame(
+            {user_col: users.to_numpy(), "n_stages": n_stages.to_numpy(np.int64)}
+        )
+
+    return bucketed_group_apply(slim, "u", _funnel, num_partitions)
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     *,

@@ -1,0 +1,45 @@
+"""funnel_stages: ordering semantics — a click BEFORE the first view
+must not count, an equal-timestamp event must (>=), and stages must
+chain off the FIRST qualifying reach time."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from fuzzy_matching_ray.extras.relational import funnel_stages
+
+
+def _ts(s):
+    return pd.Timestamp(f"2026-01-01 00:00:{s:02d}")
+
+
+def test_funnel_order_and_ties():
+    rows = [
+        # u1: full ordered funnel
+        ("u1", "view", 1), ("u1", "click", 2), ("u1", "purchase", 3),
+        # u2: click precedes the only view → stage 1 only
+        ("u2", "click", 1), ("u2", "view", 2),
+        # u3: click at the SAME ts as first view counts (>=)
+        ("u3", "view", 5), ("u3", "click", 5),
+        # u4: purchase before click → stuck at 2
+        ("u4", "view", 1), ("u4", "purchase", 2), ("u4", "click", 3),
+        # u5: only non-funnel events → excluded entirely
+        ("u5", "error", 1),
+        # u6: second view is later; click after FIRST view qualifies
+        ("u6", "view", 1), ("u6", "view", 9), ("u6", "click", 4),
+    ]
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": [_ts(r[2]) for r in rows],
+        }
+    )
+    out = (
+        funnel_stages(rd.from_pandas(df).repartition(3), num_partitions=4)
+        .to_pandas()
+        .set_index("user_id")["n_stages"]
+        .sort_index()
+    )
+    assert out.to_dict() == {"u1": 3, "u2": 1, "u3": 2, "u4": 2, "u6": 2}
