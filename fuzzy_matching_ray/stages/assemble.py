@@ -131,31 +131,23 @@ def explode_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
     text-equality invariant test."""
 
     def _explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        conv = batch["conv_id"].to_pylist()
-        idxs = batch["turn_idxs"].to_pylist()
-        roles = batch["roles"].to_pylist()
-        texts = batch["turn_texts"].to_pylist()
-        tools = batch["tools"].to_pylist()
-        out_conv: list[str] = []
-        out_idx: list[int] = []
-        out_role: list[str] = []
-        out_text: list[str] = []
-        out_tool: list[str] = []
-        for i in range(n):
-            k = len(idxs[i])
-            out_conv.extend([conv[i]] * k)
-            out_idx.extend(idxs[i])
-            out_role.extend(roles[i])
-            out_text.extend(texts[i])
-            out_tool.extend(tools[i])
+        import numpy as np
+        import pyarrow.compute as pc
+
+        idxs = batch["turn_idxs"].combine_chunks()
+        # repeat each conv_id by its list length, flatten the list
+        # columns — all Arrow/numpy kernels, zero per-turn Python
+        lens = pc.list_value_length(idxs).to_numpy(zero_copy_only=False)
+        rep = pa.array(
+            np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens), pa.int64()
+        )
         return pa.table(
             {
-                "conv_id": pa.array(out_conv, pa.string()),
-                "turn_idx": pa.array(out_idx, pa.int32()),
-                "role": pa.array(out_role, pa.string()),
-                "text": pa.array(out_text, pa.string()),
-                "tool": pa.array(out_tool, pa.string()),
+                "conv_id": batch["conv_id"].take(rep),
+                "turn_idx": idxs.flatten().cast(pa.int32()),
+                "role": batch["roles"].combine_chunks().flatten(),
+                "text": batch["turn_texts"].combine_chunks().flatten(),
+                "tool": batch["tools"].combine_chunks().flatten(),
             }
         )
 
