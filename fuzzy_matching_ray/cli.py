@@ -210,6 +210,34 @@ def cmd_incremental(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_report(args: argparse.Namespace) -> int:
+    """Dedup dashboard over a documents Parquet: cluster-size
+    histogram, per-source kept/removed rates, and per-doc n-gram
+    novelty attribution — the post-dedup reporting views."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.aggregates import group_size_histogram
+    from fuzzy_matching_ray.extras.doc_dedup import (
+        dedup_rate_by_group,
+        minhash_dedup_docs,
+    )
+    from fuzzy_matching_ray.extras.filtering import gram_novelty
+
+    docs = rd.read_parquet(args.input)
+    labels = minhash_dedup_docs(docs).materialize()
+    group_size_histogram(
+        labels, key_col="cluster_id", size_name="cluster_size", count_name="n_clusters"
+    ).write_parquet(args.output + "/cluster_sizes")
+    if args.group_col:
+        dedup_rate_by_group(docs, group_col=args.group_col, labels=labels).write_parquet(
+            args.output + "/dedup_rate"
+        )
+    gram_novelty(docs).write_parquet(args.output + "/gram_novelty")
+    print(json.dumps({"docs": docs.count(), "out": args.output}))
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     """BM25 ranked keyword search over a documents Parquet file/dir."""
     _init_ray(args.num_cpus)
@@ -317,6 +345,13 @@ def build_parser() -> argparse.ArgumentParser:
     inc.add_argument("--id-col", default="doc_id")
     inc.add_argument("--text-col", default="text")
     inc.set_defaults(fn=cmd_incremental)
+
+    rp = sub.add_parser("report", help="dedup dashboard: cluster sizes, per-source rates, novelty")
+    rp.add_argument("--input", required=True, help="documents parquet path")
+    rp.add_argument("--output", required=True)
+    rp.add_argument("--group-col", default="source", dest="group_col")
+    rp.add_argument("--num-cpus", type=int, default=None)
+    rp.set_defaults(fn=cmd_report)
 
     s = sub.add_parser("search", help="BM25 ranked keyword search")
     s.add_argument("--input", required=True)

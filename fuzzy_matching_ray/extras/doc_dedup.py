@@ -103,6 +103,7 @@ def dedup_rate_by_group(
     text_col: str = "text",
     group_col: str = "source",
     num_partitions: int = 16,
+    labels: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Per-``group_col`` dedup report over the MinHash/LSH clusters:
     ``(group, n_docs, n_kept, n_removed)`` where a doc is *kept* iff it
@@ -118,7 +119,8 @@ def dedup_rate_by_group(
 
     from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
 
-    labels = minhash_dedup_docs(ds, cfg, id_col, text_col)
+    if labels is None:
+        labels = minhash_dedup_docs(ds, cfg, id_col, text_col)
 
     def _slim(b: pa.Table) -> pa.Table:
         return pa.table(
