@@ -592,6 +592,14 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_shard_documents(sf_dir: str):
+    """Content-addressed training-shard layout (deterministic global
+    shuffle): md5-word shard + within-shard rank, engine-reproducible."""
+    from fuzzy_matching_ray.extras.packing import shard_documents
+
+    return shard_documents(_read(sf_dir, "documents"))
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (min-timestamp
     semantics — row-order independent, SQL-mirrorable)."""
@@ -990,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_deciles_documents": _q_length_deciles,
         "gram_novelty_documents": _q_gram_novelty,
         "events_funnel": _q_events_funnel,
+        "shard_documents": _q_shard_documents,
     }
 
 
@@ -1489,6 +1498,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM t "
             "GROUP BY token HAVING count(*) >= 100"
+        ),
+        "shard_documents": (
+            "WITH w AS (SELECT doc_id, "
+            "CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) AS w "
+            "FROM documents) "
+            "SELECT doc_id, (w % 64)::BIGINT AS shard, "
+            "(row_number() OVER (PARTITION BY w % 64 ORDER BY w, doc_id) - 1)::BIGINT AS pos "
+            "FROM w"
         ),
         "events_funnel": (
             "WITH e AS (SELECT user_id, event_type, ts FROM events "

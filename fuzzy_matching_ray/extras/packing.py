@@ -29,6 +29,53 @@ import ray.data
 from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
 
 
+def shard_documents(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Deterministic training-shard layout: ``(id, shard, pos)`` where
+    ``shard = md5_word(id) % n_shards`` and ``pos`` is the 0-based
+    rank within the shard ordered by ``(md5_word, id)`` — a
+    content-addressed global shuffle that is a pure function of the
+    ids: stable across runs, partitionings, and engines (SQL mirror:
+    hex-prefix cast + ``row_number``), unlike seeded
+    ``random_shuffle``, and resumable per shard by construction.
+
+    One bucketed exchange carrying ``(id, word)`` pairs; the
+    per-bucket kernel is one sort + cumcount.  Ordering uses only the
+    first digest word with the id as tiebreak, so equal-word
+    collisions (~n²/2³³) stay deterministic."""
+    from fuzzy_matching_ray.hashing import md5_first_word
+
+    def _prep(b: pa.Table) -> pa.Table:
+        w = md5_first_word(b[id_col].to_pylist())
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "shard": pa.array((w % np.uint32(n_shards)).astype(np.int64), pa.int64()),
+                "_w": pa.array(w.astype(np.int64), pa.int64()),
+            }
+        )
+
+    slim = ds.select_columns([id_col]).map_batches(_prep, batch_format="pyarrow")
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "_w", id_col], kind="mergesort")
+        pos = df.groupby("shard", sort=False).cumcount()
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "shard": df["shard"].to_numpy(np.int64),
+                "pos": pos.to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(slim, "shard", _rank, min(num_partitions, n_shards))
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     *,

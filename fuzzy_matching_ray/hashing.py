@@ -216,25 +216,33 @@ _MD5_S = np.array(
 
 def md5_leading_byte(values: list) -> np.ndarray:
     """First digest byte of ``md5(str(v))`` for each value, vectorized.
+    Bit-exact with ``hashlib.md5(s).digest()[0]`` — the contract that
+    keeps ``hash_sample`` reproducible in SQL (md5 prefix compare)."""
+    return (md5_first_word(values) >> np.uint32(24)).astype(np.uint8)
+
+
+def md5_first_word(values: list) -> np.ndarray:
+    """First FOUR digest bytes of ``md5(str(v))`` as a big-endian
+    uint32 — numerically equal to SQL
+    ``CAST('0x' || substr(md5(v), 1, 8) AS BIGINT)`` and ordered like
+    the hex-digest prefix, so shard assignment (``% n``) and
+    within-shard ordering reproduce exactly in any engine.
 
     Strings up to 55 bytes fit a single MD5 block, so the whole batch
     runs as 64 rounds of numpy uint32 arithmetic (~50 ns/row) instead
     of one ``hashlib`` call per row; longer strings (rare for ids)
-    fall back to ``hashlib`` individually.  Bit-exact with
-    ``hashlib.md5(s).digest()[0]`` — the contract that keeps
-    ``hash_sample`` reproducible in SQL (``md5(...)`` prefix compare).
-    """
+    fall back to ``hashlib`` individually."""
     import hashlib
 
     enc = [str(v).encode() for v in values]
     n = len(enc)
-    out = np.zeros(n, dtype=np.uint8)
+    out = np.zeros(n, dtype=np.uint32)
     if n == 0:
         return out
     lens = np.fromiter((len(e) for e in enc), np.int64, n)
     long_rows = np.flatnonzero(lens > 55)
     for i in long_rows:
-        out[i] = hashlib.md5(enc[i]).digest()[0]
+        out[i] = int.from_bytes(hashlib.md5(enc[i]).digest()[:4], "big")
     short = np.flatnonzero(lens <= 55)
     if short.size == 0:
         return out
@@ -289,7 +297,9 @@ def md5_leading_byte(values: list) -> np.ndarray:
             rot = (tmp << np.uint32(s)) | (tmp >> np.uint32(32 - s))
             a, d, c, b = d, c, b, b + rot
         res[lo : lo + chunk] = a0 + a
-    out[short] = (res & np.uint32(0xFF)).astype(np.uint8)
+    # `res` is the little-endian first word; byteswap yields the
+    # big-endian (hex-prefix-ordered) value
+    out[short] = res.byteswap()
     return out
 
 
