@@ -225,16 +225,22 @@ def cmd_report(args: argparse.Namespace) -> int:
     from fuzzy_matching_ray.extras.filtering import gram_novelty
 
     docs = rd.read_parquet(args.input)
+    cols = set(docs.schema().names)
     labels = minhash_dedup_docs(docs).materialize()
     group_size_histogram(
         labels, key_col="cluster_id", size_name="cluster_size", count_name="n_clusters"
     ).write_parquet(args.output + "/cluster_sizes")
-    if args.group_col:
+    views = ["cluster_sizes", "gram_novelty"]
+    # the per-group view needs the group column; skip (loudly) if absent
+    if args.group_col and args.group_col in cols:
         dedup_rate_by_group(docs, group_col=args.group_col, labels=labels).write_parquet(
             args.output + "/dedup_rate"
         )
+        views.append("dedup_rate")
+    elif args.group_col:
+        print(f"report: no column {args.group_col!r} — skipping dedup_rate view")
     gram_novelty(docs).write_parquet(args.output + "/gram_novelty")
-    print(json.dumps({"docs": docs.count(), "out": args.output}))
+    print(json.dumps({"docs": docs.count(), "out": args.output, "views": views}))
     return 0
 
 

@@ -67,12 +67,19 @@ def pivot_counts(
     Scale shape: each batch pre-aggregates ``(key, pivot, n)`` (one
     row per distinct pair per batch), so the single shuffle carries
     pair-counts, never events; the per-bucket pivot is an ``unstack``
-    over already-combined counts.  Unlisted pivot values still count
-    toward ``n_total`` (mirroring SQL ``count(*)``)."""
+    over already-combined counts.  Unlisted pivot values — including
+    NULL, which is folded to '' so the row is not dropped — still
+    count toward ``n_total`` (mirroring SQL ``count(*)``); rows with
+    a NULL *key* are dropped (grouping keys are non-null by the
+    table contracts here — a NULL-keyed mirror would need
+    ``dropna=False`` plus a NULL-vs-'nan' hash convention)."""
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {key_col: batch[key_col], pivot_col: batch[pivot_col].fillna("")}
+        )
         g = (
-            batch.groupby([key_col, pivot_col], sort=False, observed=True)
+            b.groupby([key_col, pivot_col], sort=False, observed=True)
             .size()
             .rename("n")
             .reset_index()
@@ -162,7 +169,15 @@ def quantile_bucket_assign(
     sketch instead (t-digest / KLL), trading exactness."""
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch[val_col].value_counts()
+        s = batch[val_col]
+        if not pd.api.types.is_integer_dtype(s):
+            # silent float→int truncation would collapse score-like
+            # domains onto bucket 0; fail loudly instead
+            raise TypeError(
+                f"quantile_bucket_assign needs an integer {val_col!r} "
+                f"(got {s.dtype}); discretize floats explicitly first"
+            )
+        vc = s.value_counts()
         return pd.DataFrame(
             {"v": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
         )

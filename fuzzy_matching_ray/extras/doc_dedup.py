@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as _pc
 import ray.data
 
 from fuzzy_matching_ray.config import PipelineConfig
@@ -126,7 +127,9 @@ def dedup_rate_by_group(
         return pa.table(
             {
                 id_col: b[id_col].cast(pa.string()),  # label ids are strings
-                "grp": b[group_col].cast(pa.string()),
+                # NULL groups fold to '' so no doc silently vanishes
+                # from the report (pandas groupby drops NaN keys)
+                "grp": _pc.fill_null(b[group_col].cast(pa.string()), ""),
             }
         )
 

@@ -191,27 +191,32 @@ def gram_novelty(
     ``(doc_id, gram_hash)`` pairs (16 bytes/row), the first bucketed
     shuffle groups by gram hash to find each gram's min doc id and
     fold per-doc partial counts, the second sums partials per doc.
-    Earlier-than semantics follow the id order, so the operator is
-    deterministic and the SQL oracle (string grams + ``min(doc_id)``
-    window) hashes identically absent 64-bit gram collisions (see
-    ``_doc_gram_hashes``)."""
+    Earlier-than semantics follow the id order (numeric for integer
+    ids, lexicographic for strings — matching SQL ``min`` on either
+    type), so the operator is deterministic and the SQL oracle
+    (string grams + ``min(doc_id)`` window) hashes identically absent
+    64-bit gram collisions (see ``_doc_gram_hashes``)."""
 
     def _pairs(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        id_arr = batch[id_col]
+        is_int = pa.types.is_integer(id_arr.type)
         doc_ord, h = _doc_gram_hashes(batch[text_col].to_pandas(), n)
+        empty_id = pa.array([], pa.int64() if is_int else pa.string())
         if h.size == 0:
-            return pa.table(
-                {"d": pa.array([], pa.int64()), "g": pa.array([], pa.uint64())}
+            return pa.table({"d": empty_id, "g": pa.array([], pa.uint64())})
+        if is_int:
+            ids = id_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            pairs = np.unique(
+                np.stack([ids[doc_ord].astype(np.uint64), h], axis=1), axis=0
             )
-        pairs = np.unique(
-            np.stack([ids[doc_ord].astype(np.uint64), h], axis=1), axis=0
-        )
-        return pa.table(
-            {
-                "d": pa.array(pairs[:, 0].astype(np.int64), pa.int64()),
-                "g": pa.array(pairs[:, 1], pa.uint64()),
-            }
-        )
+            d_out = pa.array(pairs[:, 0].astype(np.int64), pa.int64())
+            g_out = pa.array(pairs[:, 1], pa.uint64())
+        else:  # string ids: dedup via pandas, keep ids as objects
+            ids = np.asarray(id_arr.to_pylist(), dtype=object)
+            dd = pd.DataFrame({"d": ids[doc_ord], "g": h}).drop_duplicates()
+            d_out = pa.array(dd["d"].to_numpy(dtype=object), pa.string())
+            g_out = pa.array(dd["g"].to_numpy(np.uint64), pa.uint64())
+        return pa.table({"d": d_out, "g": g_out})
 
     from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
 
@@ -234,7 +239,7 @@ def gram_novelty(
         g = df.groupby("d", sort=True)[["n_grams", "n_dup_grams"]].sum()
         return pd.DataFrame(
             {
-                id_col: g.index.to_numpy(np.int64),
+                id_col: g.index.to_numpy(),  # id dtype preserved (int or str)
                 "n_grams": g["n_grams"].to_numpy(np.int64),
                 "n_dup_grams": g["n_dup_grams"].to_numpy(np.int64),
             }

@@ -91,7 +91,7 @@ def _get_df(ref: "ray.ObjectRef") -> tuple[np.ndarray, np.ndarray]:
     return hit
 
 
-def _doc_tf(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+def _doc_tf(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
     """(doc position, term, tf) for one batch, vectorized."""
     ex = _tokens(batch[text_col])
     if ex.empty:
@@ -120,7 +120,7 @@ def tfidf_top_terms(
     def _probe(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.reset_index(drop=True)  # 'r' must be positional
         terms_sorted, dfs = _get_df(df_ref)
-        tf = _doc_tf(batch, id_col, text_col)
+        tf = _doc_tf(batch, text_col)
         if tf.empty:
             return pd.DataFrame(
                 {
@@ -172,7 +172,7 @@ def rare_token_stats(
     def _probe(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.reset_index(drop=True)  # 'r' must be positional
         terms_sorted, dfs = _get_df(df_ref)
-        tf = _doc_tf(batch, id_col, text_col)
+        tf = _doc_tf(batch, text_col)
         ids = batch[id_col].to_numpy()
         out = pd.DataFrame(
             {

@@ -34,6 +34,21 @@ def test_gram_novelty_attribution():
     assert out.loc[30].tolist() == [2, 0]
 
 
+def test_gram_novelty_string_ids():
+    """String doc ids (the CLI report path): lexicographic min-id
+    semantics, no int cast."""
+    df = pd.DataFrame(
+        {
+            "doc_id": ["doc-b", "doc-a", "doc-c"],
+            "text": ["one two three four", "one two three four", "five six seven eight"],
+        }
+    )
+    out = gram_novelty(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc["doc-a", "n_dup_grams"] == 0  # lexicographic first
+    assert out.loc["doc-b", "n_dup_grams"] == 1
+    assert out.loc["doc-c", "n_dup_grams"] == 0
+
+
 def test_gram_novelty_duplicate_grams_within_doc_counted_once():
     rep = "a b c d a b c d"  # gram 'a b c d' occurs twice in-doc
     df = pd.DataFrame({"doc_id": [1, 2], "text": [rep, "a b c d x"]})
