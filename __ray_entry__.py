@@ -592,6 +592,13 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_lang_mismatch(sf_dir: str):
+    """Metadata audit: detected vs declared language, zero shuffles."""
+    from fuzzy_matching_ray.extras.textstats import language_mismatch
+
+    return language_mismatch(_read(sf_dir, "documents"))
+
+
 def _q_shard_documents(sf_dir: str):
     """Content-addressed training-shard layout (deterministic global
     shuffle): md5-word shard + within-shard rank, engine-reproducible."""
@@ -999,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty_documents": _q_gram_novelty,
         "events_funnel": _q_events_funnel,
         "shard_documents": _q_shard_documents,
+        "lang_mismatch_documents": _q_lang_mismatch,
     }
 
 
@@ -1114,6 +1122,31 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr' "
             "WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS lang_pred "
             "FROM h"
+        ),
+        "lang_mismatch_documents": (
+            # the langid oracle joined back to the declared column
+            "WITH t AS (SELECT doc_id, text, "
+            "list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS toks "
+            "FROM documents), "
+            "h AS (SELECT doc_id, text, "
+            "len(list_intersect(toks, ['the','of','and','a','to','in','is','it','that','for','with','on','as'])) AS h_en, "
+            "len(list_intersect(toks, ['le','la','les','de','des','et','un','une','est','que','pour','dans','du'])) AS h_fr, "
+            "len(list_intersect(toks, ['el','la','los','las','de','y','un','una','es','que','para','en','del'])) AS h_es, "
+            "len(list_intersect(toks, ['der','die','das','und','ein','eine','ist','zu','mit','für','auf','den'])) AS h_de "
+            "FROM t), "
+            "p AS (SELECT doc_id, CASE "
+            "WHEN regexp_matches(substr(text, 1, 400), '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+            "WHEN length(regexp_replace(substr(text, 1, 2000), '[^\\p{L}]', '', 'g')) > 0 "
+            "AND length(regexp_replace(substr(text, 1, 2000), '[^а-яА-Я]', '', 'g'))::DOUBLE "
+            "/ length(regexp_replace(substr(text, 1, 2000), '[^\\p{L}]', '', 'g')) > 0.5 THEN 'ru' "
+            "WHEN h_en = 0 AND h_fr = 0 AND h_es = 0 AND h_de = 0 THEN 'und' "
+            "WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en' "
+            "WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr' "
+            "WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS lang_pred "
+            "FROM h) "
+            "SELECT d.doc_id, coalesce(d.lang, '') AS lang, p.lang_pred, "
+            "(CASE WHEN coalesce(d.lang, '') = p.lang_pred THEN 1 ELSE 0 END)::BIGINT AS agree "
+            "FROM documents d JOIN p USING (doc_id)"
         ),
         "minhash_dedup_documents": (
             # brute-force independent oracle for the LSH pipeline:

@@ -152,6 +152,31 @@ def language_id(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def language_mismatch(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    declared_col: str = "lang",
+) -> ray.data.Dataset:
+    """Metadata-validation pass: detected language vs the declared
+    ``lang`` column — ``(doc_id, lang, lang_pred, agree)``.  Web
+    corpora carry unreliable language metadata; this is the audit
+    view curation uses to decide whether to trust it.  Zero shuffles
+    (the detector is per-batch vectorized)."""
+
+    def _check(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        out = langid_frame(batch, id_col, text_col)
+        declared = batch[declared_col].fillna("").astype(str)
+        out[declared_col] = declared.to_numpy(dtype=object)
+        out["agree"] = (
+            (out[declared_col] == out["lang_pred"]).to_numpy().astype(np.int64)
+        )
+        return out[[id_col, declared_col, "lang_pred", "agree"]]
+
+    return ds.map_batches(_check, batch_format="pandas")
+
+
 # --- document fingerprinting ----------------------------------------------
 
 

@@ -64,6 +64,7 @@ def _docs_ops():
         "repetition_stats": lambda ds: filtering.repetition_stats(ds),
         "token_counts": lambda ds: textstats.token_counts(ds),
         "language_id": lambda ds: textstats.language_id(ds),
+        "language_mismatch": lambda ds: textstats.language_mismatch(ds),
         "shard_documents": lambda ds: packing.shard_documents(ds),
         "pack_sequences": lambda ds: packing.pack_sequences(ds),
     }
