@@ -607,6 +607,18 @@ def _q_shard_documents(sf_dir: str):
     return shard_documents(_read(sf_dir, "documents"))
 
 
+def _q_dedup_event_bursts(sf_dir: str):
+    """Burst dedup: first event of every (user, type) burst survives;
+    repeats within 60s collapse."""
+    from fuzzy_matching_ray.extras.relational import dedup_event_bursts
+
+    return dedup_event_bursts(
+        _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "event_type", "ts"]
+        )
+    )
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (min-timestamp
     semantics — row-order independent, SQL-mirrorable)."""
@@ -1007,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "shard_documents": _q_shard_documents,
         "lang_mismatch_documents": _q_lang_mismatch,
+        "dedup_event_bursts": _q_dedup_event_bursts,
     }
 
 
@@ -1539,6 +1552,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (w % 64)::BIGINT AS shard, "
             "(row_number() OVER (PARTITION BY w % 64 ORDER BY w, doc_id) - 1)::BIGINT AS pos "
             "FROM w"
+        ),
+        "dedup_event_bursts": (
+            "WITH o AS (SELECT event_id, user_id, event_type, ts, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS pts FROM events) "
+            "SELECT event_id, user_id, event_type, ts FROM o "
+            "WHERE pts IS NULL OR date_diff('microsecond', pts, ts) > 60000000"
         ),
         "events_funnel": (
             "WITH e AS (SELECT user_id, event_type, ts FROM events "

@@ -14,6 +14,34 @@ def _ts(s):
     return pd.Timestamp(f"2026-01-01 00:00:{s:02d}")
 
 
+def test_dedup_event_bursts():
+    from fuzzy_matching_ray.extras.relational import dedup_event_bursts
+
+    rows = [
+        # u1 click burst: 0s, 30s (dropped), 95s (kept: >60s after 30s)
+        (1, "u1", "click", 0), (2, "u1", "click", 30), (3, "u1", "click", 95),
+        # same ts repeats collapse; id tiebreak keeps the smaller id
+        (4, "u1", "view", 10), (5, "u1", "view", 10),
+        # different type is an independent stream
+        (6, "u2", "click", 0), (7, "u2", "view", 1),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "ts": [_ts_sec(r[3]) for r in rows],
+        }
+    )
+    out = dedup_event_bursts(rd.from_pandas(df).repartition(3), num_partitions=4)
+    kept = sorted(out.to_pandas()["event_id"].tolist())
+    assert kept == [1, 3, 4, 6, 7]
+
+
+def _ts_sec(s):
+    return pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=s)
+
+
 def test_funnel_order_and_ties():
     rows = [
         # u1: full ordered funnel
