@@ -244,6 +244,24 @@ def cmd_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_run(args: argparse.Namespace) -> int:
+    """Declarative pipeline: a JSON step spec composed over the
+    operator registry into one lazy plan (validated before any data
+    moves), then written as partitioned Parquet."""
+    with open(args.config) as f:
+        spec = json.load(f)
+    from fuzzy_matching_ray.pipelines.compose import build_pipeline
+
+    run = build_pipeline(spec)  # validates BEFORE ray spins up
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    out = run(rd.read_parquet(args.input))
+    out.write_parquet(args.output)
+    print(json.dumps({"rows_out": out.count(), "steps": [s["op"] for s in spec["steps"]]}))
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     """BM25 ranked keyword search over a documents Parquet file/dir."""
     _init_ray(args.num_cpus)
@@ -351,6 +369,13 @@ def build_parser() -> argparse.ArgumentParser:
     inc.add_argument("--id-col", default="doc_id")
     inc.add_argument("--text-col", default="text")
     inc.set_defaults(fn=cmd_incremental)
+
+    rn = sub.add_parser("run", help="declarative pipeline from a JSON step spec")
+    rn.add_argument("--config", required=True, help="JSON: {steps: [{op, ...params}]}")
+    rn.add_argument("--input", required=True, help="documents parquet path")
+    rn.add_argument("--output", required=True)
+    rn.add_argument("--num-cpus", type=int, default=None)
+    rn.set_defaults(fn=cmd_run)
 
     rp = sub.add_parser("report", help="dedup dashboard: cluster sizes, per-source rates, novelty")
     rp.add_argument("--input", required=True, help="documents parquet path")

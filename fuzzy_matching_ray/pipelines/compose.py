@@ -1,0 +1,181 @@
+"""Declarative pipeline composition: a JSON/dict spec → one lazy
+Ray Data plan.
+
+The reference drives its modes from a config object
+(``core/match_config_classes.py``); the engine generalizes that to a
+step registry so a curation pipeline ships as data, not code:
+
+    {"steps": [
+        {"op": "quality_filter", "min_words": 20},
+        {"op": "exact_dedup"},
+        {"op": "minhash_dedup"},
+        {"op": "redact_pii"},
+        {"op": "hash_sample", "hex_threshold": "33"},
+        {"op": "shard", "n_shards": 64}
+    ]}
+
+Every step maps ``Dataset -> Dataset``, so the composed pipeline stays
+ONE streaming plan wherever the underlying operators allow (filters,
+redaction, sampling, sharding chain lazily; the dedup steps
+materialize only what their own contracts require — e.g. the label
+set for the anti-join).  Unknown ops or parameters fail at BUILD time
+(before any data moves), not mid-run."""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any, Callable
+
+import pyarrow as pa
+import ray.data
+
+
+def _quality_filter(ds: ray.data.Dataset, *, min_words: int = 10, text_col: str = "text") -> ray.data.Dataset:
+    import pandas as pd
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").astype(str).str.split().str.len()
+        return batch[toks >= min_words]
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+def _lang_filter(ds: ray.data.Dataset, *, keep: tuple = ("en",), id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    import pandas as pd
+
+    from fuzzy_matching_ray.extras.textstats import langid_frame
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        pred = langid_frame(batch, id_col, text_col)["lang_pred"]
+        return batch[pred.isin(list(keep)).to_numpy()]
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+def _exact_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    from fuzzy_matching_ray.extras.doc_dedup import exact_dedup_docs
+
+    return exact_dedup_docs(ds, id_col=id_col, text_col=text_col)
+
+
+def _minhash_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Keep only cluster representatives (min-id member per near-dup
+    cluster): labels via the LSH pipeline, survivors via a broadcast
+    membership probe (the label table is ids-only — far smaller than
+    the corpus — and read zero-copy by every filter task)."""
+    import numpy as np
+    import ray
+
+    from fuzzy_matching_ray.extras.doc_dedup import minhash_dedup_docs
+    from fuzzy_matching_ray.hashing import nid_of, sorted_member
+
+    labels = minhash_dedup_docs(ds, id_col=id_col, text_col=text_col)
+
+    def _rep_nids(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b[id_col].cast(pa.string())
+        keep = ids.filter(pc.equal(ids, b["cluster_id"].cast(pa.string())))
+        return pa.table({"nid": pa.array(nid_of(keep.to_pylist()), pa.uint64())})
+
+    @ray.remote
+    def _reduce(*tables: pa.Table) -> "np.ndarray":
+        arrs = [
+            t["nid"].to_numpy(zero_copy_only=False)
+            for t in tables
+            if t.num_rows and "nid" in t.schema.names
+        ]
+        return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+
+    blocks = labels.map_batches(_rep_nids, batch_format="pyarrow").materialize().to_arrow_refs()
+    reps_ref = _reduce.remote(*blocks)
+
+    def _keep(b: pa.Table) -> pa.Table:
+        reps = ray.get(reps_ref)
+        nids = nid_of([str(v) for v in b[id_col].to_pylist()])
+        return b.filter(pa.array(sorted_member(reps, nids)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def _redact_pii(ds: ray.data.Dataset, *, text_col: str = "text") -> ray.data.Dataset:
+    from fuzzy_matching_ray.extras.filtering import redact_pii
+
+    return redact_pii(ds, text_col=text_col)
+
+
+def _hash_sample(ds: ray.data.Dataset, *, hex_threshold: str = "33", id_col: str = "doc_id") -> ray.data.Dataset:
+    from fuzzy_matching_ray.extras.relational import hash_sample
+
+    names = ds.schema().names
+    return hash_sample(ds, id_col=id_col, cols=tuple(names), hex_threshold=hex_threshold)
+
+
+def _shard(ds: ray.data.Dataset, *, n_shards: int = 64, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Attach the content-addressed shard id, keeping the payload (a
+    composed pipeline writes training rows; the projecting layout with
+    within-shard ranks is ``extras.packing.shard_documents``).  Pure
+    map — zero shuffles."""
+    import numpy as np
+
+    from fuzzy_matching_ray.hashing import md5_first_word
+
+    def _add(b: pa.Table) -> pa.Table:
+        w = md5_first_word(b[id_col].to_pylist())
+        return b.append_column(
+            "shard", pa.array((w % np.uint32(n_shards)).astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+REGISTRY: dict[str, Callable[..., ray.data.Dataset]] = {
+    "quality_filter": _quality_filter,
+    "lang_filter": _lang_filter,
+    "exact_dedup": _exact_dedup,
+    "minhash_dedup": _minhash_dedup,
+    "redact_pii": _redact_pii,
+    "hash_sample": _hash_sample,
+    "shard": _shard,
+}
+
+
+def build_pipeline(spec: dict[str, Any]) -> Callable[[ray.data.Dataset], ray.data.Dataset]:
+    """Validate a spec and return ``Dataset -> Dataset``.  Validation
+    is eager (unknown op / unknown parameter / wrong shape raise
+    ``ValueError`` here), execution stays lazy."""
+    steps = spec.get("steps")
+    if not isinstance(steps, list) or not steps:
+        raise ValueError("spec['steps'] must be a non-empty list")
+    plan: list[tuple[Callable[..., ray.data.Dataset], dict[str, Any]]] = []
+    for i, step in enumerate(steps):
+        if not isinstance(step, dict) or "op" not in step:
+            raise ValueError(f"step {i}: expected a dict with an 'op' key")
+        op = step["op"]
+        fn = REGISTRY.get(op)
+        if fn is None:
+            raise ValueError(f"step {i}: unknown op {op!r} (known: {sorted(REGISTRY)})")
+        params = {k: v for k, v in step.items() if k != "op"}
+        allowed = {
+            p.name
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind is inspect.Parameter.KEYWORD_ONLY
+        }
+        bad = set(params) - allowed
+        if bad:
+            raise ValueError(f"step {i} ({op}): unknown params {sorted(bad)} (allowed: {sorted(allowed)})")
+        # JSON has no tuples; coerce list params where the op expects them
+        params = {k: tuple(v) if isinstance(v, list) else v for k, v in params.items()}
+        plan.append((fn, params))
+
+    def _run(ds: ray.data.Dataset) -> ray.data.Dataset:
+        for fn, params in plan:
+            ds = fn(ds, **params)
+        return ds
+
+    return _run
+
+
+def run_pipeline(spec: dict[str, Any], ds: ray.data.Dataset) -> ray.data.Dataset:
+    return build_pipeline(spec)(ds)

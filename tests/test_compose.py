@@ -1,0 +1,60 @@
+"""Declarative pipeline composer: spec validation fails at build time,
+and a filter→dedup→sample→shard chain matches the operators applied
+by hand."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fuzzy_matching_ray.pipelines.compose import build_pipeline
+
+
+def _docs():
+    dup = "an identical long document body repeated across ids " * 4
+    return pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                dup,
+                dup,  # exact dup of 0 → dropped
+                "short",  # < 4 words → quality-filtered
+                "a perfectly fine unique document with enough words here",
+                dup + " tail",  # near-dup of 0 (Jaccard ≈ 0.85)
+                "another unique document that easily passes the word bar",
+                "yet another clean unique document with many distinct words",
+                "final unique document also passing the quality filter",
+            ],
+        }
+    )
+
+
+def test_build_validates_eagerly():
+    with pytest.raises(ValueError, match="unknown op"):
+        build_pipeline({"steps": [{"op": "nope"}]})
+    with pytest.raises(ValueError, match="unknown params"):
+        build_pipeline({"steps": [{"op": "quality_filter", "min_wordz": 3}]})
+    with pytest.raises(ValueError, match="non-empty"):
+        build_pipeline({"steps": []})
+
+
+def test_composed_chain(ray_session):
+    spec = {
+        "steps": [
+            {"op": "quality_filter", "min_words": 4},
+            {"op": "exact_dedup"},
+            {"op": "minhash_dedup"},
+            {"op": "shard", "n_shards": 4},
+        ]
+    }
+    out = build_pipeline(spec)(rd.from_pandas(_docs())).to_pandas()
+    kept = sorted(out["doc_id"].tolist())
+    # 2 fails quality; 1 exact-dups 0; 4 near-dups 0 (rep = min id 0)
+    assert kept == [0, 3, 5, 6, 7]
+    # shard step output shape with content-addressed shards
+    for _, row in out.iterrows():
+        w = int.from_bytes(hashlib.md5(str(row["doc_id"]).encode()).digest()[:4], "big")
+        assert row["shard"] == w % 4
