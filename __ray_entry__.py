@@ -552,6 +552,14 @@ def _q_multimodal_frames(sf_dir: str):
     return frame_sample_media(media)
 
 
+def _q_multimodal_features(sf_dir: str):
+    """Actor-pool feature extraction over media payload bytes (the
+    embed/classify precursor; integer byte statistics here)."""
+    from fuzzy_matching_ray.extras.multimodal import media_features, text_to_fake_binary
+
+    return media_features(text_to_fake_binary(_read(sf_dir, "documents")))
+
+
 def _q_token_heavy_hitters(sf_dir: str):
     """Exact global heavy hitters with map-side partial counts (the
     exchange carries distinct-tokens-per-batch, never occurrences)."""
@@ -991,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "pack_sequences": _q_pack_sequences,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_features": _q_multimodal_features,
         "token_heavy_hitters": _q_token_heavy_hitters,
         # HLL sketch — rows-only by contract (pytest error gate)
         "approx_ndistinct_events": _q_approx_ndistinct,
@@ -1641,6 +1650,19 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_rare, 0)::BIGINT AS n_rare, "
             "coalesce(a.n_distinct_rare, 0)::BIGINT AS n_distinct_rare "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "multimodal_features": (
+            # byte statistics over the fake-codec payload (= utf8
+            # bytes of text): hex-pair arithmetic mirrors numpy exactly
+            "WITH m AS (SELECT doc_id, hex(encode(text)) AS hx, "
+            "octet_length(encode(text))::BIGINT AS n FROM documents), "
+            "b AS (SELECT doc_id, n, list_transform(range(0, n), "
+            "i -> ('0x' || substr(hx, (2*i+1)::INT, 2))::BIGINT) AS bytes FROM m) "
+            "SELECT doc_id, n AS n_bytes, "
+            "coalesce(list_sum(bytes), 0)::BIGINT AS byte_sum, "
+            "coalesce(list_max(bytes), 0)::BIGINT AS max_byte, "
+            "coalesce(len(list_filter(bytes, x -> x >= 128)), 0)::BIGINT AS n_hi "
+            "FROM b"
         ),
         "multimodal_frames": (
             # frame math over the fake codec: payload = utf8 bytes of

@@ -171,6 +171,57 @@ def resize_media(
     )
 
 
+class MediaFeatureStage:
+    """Actor-pool feature extraction over decoded payload bytes —
+    the embed-or-classify precursor stage of a multimodal pipeline.
+    A real pipeline would run a vision/audio model here (weights
+    loaded once per actor in ``__init__``); the container has no
+    model libs, so the features are deterministic byte statistics
+    with the same Ray shape: per-actor state, small batches, binary
+    in / fixed-width numeric out.  All-integer features
+    ``(n_bytes, byte_sum, max_byte, n_hi)`` make the stage
+    SQL-oracle-checkable (hex-pair arithmetic over ``encode(text)``)."""
+
+    def __init__(self) -> None:
+        self._np = __import__("numpy")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np = self._np
+        ids = batch["doc_id"].to_pylist()
+        blobs = batch["media"].to_pylist()
+        n_b, b_sum, mx, hi = [], [], [], []
+        for blob in blobs:
+            payload = np.frombuffer(blob, dtype=np.uint8)[8:]  # strip header
+            n_b.append(int(payload.size))
+            b_sum.append(int(payload.sum(dtype=np.int64)))
+            mx.append(int(payload.max()) if payload.size else 0)
+            hi.append(int(np.count_nonzero(payload >= 0x80)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(n_b, pa.int64()),
+                "byte_sum": pa.array(b_sum, pa.int64()),
+                "max_byte": pa.array(mx, pa.int64()),
+                "n_hi": pa.array(hi, pa.int64()),
+            }
+        )
+
+
+def media_features(
+    ds: ray.data.Dataset,
+    *,
+    batch_size: int = 64,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 def frame_sample_media(
     ds: ray.data.Dataset,
     *,

@@ -100,6 +100,19 @@ def test_multimodal_resize_and_frame_sample():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_multimodal_features():
+    from fuzzy_matching_ray.extras.multimodal import media_features, text_to_fake_binary
+
+    rows = [{"doc_id": 1, "text": "abc"}, {"doc_id": 2, "text": "é"}, {"doc_id": 3, "text": ""}]
+    media = text_to_fake_binary(rd.from_items(rows))
+    out = media_features(media).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [3, ord("a") + ord("b") + ord("c"), ord("c"), 0]
+    assert out.loc[2, "n_bytes"] == 2  # é is 2 utf-8 bytes
+    assert out.loc[2, "n_hi"] == 2  # both continuation/high bytes ≥ 0x80
+    assert out.loc[3].tolist() == [0, 0, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hll_approx_ndistinct_within_error():
     from fuzzy_matching_ray.extras.aggregates import approx_ndistinct
 
