@@ -295,6 +295,14 @@ def _q_dedup_rate_by_source(sf_dir: str):
     return dedup_rate_by_group(_read(sf_dir, "documents"), group_col="source")
 
 
+def _q_dedup_best_reps(sf_dir: str):
+    """Quality-first consolidation (the reference's select_cleaner_record
+    generalized to clusters): longest member survives, ties to min id."""
+    from fuzzy_matching_ray.extras.doc_dedup import cluster_best_representatives
+
+    return cluster_best_representatives(_read(sf_dir, "documents"))
+
+
 def _q_embedding_cosine_pairs(sf_dir: str):
     from fuzzy_matching_ray.extras.doc_dedup import embedding_cosine_pairs
 
@@ -949,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "dedup_best_reps": _q_dedup_best_reps,
         "dedup_cluster_reps": _q_dedup_cluster_reps,
         "dedup_simhash_clusters": _q_dedup_simhash_clusters,
         "dedup_substring_edges": _q_substring_pairs,
@@ -1190,6 +1199,30 @@ def oracle_sql() -> dict[str, str]:
             "reach(a, b) AS (SELECT id, id FROM sh UNION "
             "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src) "
             "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"
+        ),
+        "dedup_best_reps": (
+            # components oracle + quality-first representative pick
+            "WITH RECURSIVE canon AS ("
+            "SELECT doc_id::VARCHAR AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t "
+            "FROM documents), "
+            "sh AS (SELECT id, CASE WHEN length(t) < 5 THEN [t] "
+            "ELSE list_distinct(list_transform(range(1, length(t) - 3), i -> substr(t, i::INT, 5))) END AS s "
+            "FROM canon), "
+            "e AS (SELECT a.id AS src, b.id AS dst "
+            "FROM sh a JOIN sh b ON a.id < b.id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7), "
+            "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), "
+            "reach(a, b) AS (SELECT id, id FROM sh UNION "
+            "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src), "
+            "lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a), "
+            "q AS (SELECT l.id, l.cluster_id, length(d.text)::BIGINT AS score "
+            "FROM lab l JOIN documents d ON d.doc_id::VARCHAR = l.id), "
+            "r AS (SELECT cluster_id, id, score, "
+            "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, id ASC) AS rn, "
+            "count(*) OVER (PARTITION BY cluster_id) AS n_members FROM q) "
+            "SELECT cluster_id, id AS rep_id, score AS rep_score, "
+            "n_members::BIGINT AS n_members FROM r WHERE rn = 1"
         ),
         "dedup_rate_by_source": (
             # the minhash_dedup_documents components oracle + per-source

@@ -159,6 +159,67 @@ def dedup_rate_by_group(
     return bucketed_group_apply(partial, "grp", _final, 8)
 
 
+def cluster_best_representatives(
+    ds: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+    labels: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Quality-ranked consolidation: per near-dup cluster, keep the
+    *best* member — longest text, ties to the smallest id — emitting
+    ``(cluster_id, rep_id, rep_score, n_members)``.
+
+    This is the reference's ``select_cleaner_record`` consolidation
+    (``core/data_matcher.py:447-497``: the "cleaner" record of a
+    matched pair survives) generalized from pairs to whole clusters
+    at document scale; the flagship's min-id representative is the
+    determinism-first variant, this is the quality-first one.  Labels
+    attach to the score column through the native hash join; one
+    cluster-bucketed shuffle ranks members vectorized."""
+    import numpy as np
+
+    from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
+    if labels is None:
+        labels = minhash_dedup_docs(ds, cfg, id_col, text_col)
+
+    def _score(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col].cast(pa.string()),
+                "score": _pc.cast(
+                    _pc.coalesce(_pc.utf8_length(b[text_col]), 0), pa.int64()
+                ),
+            }
+        )
+
+    scored = ds.map_batches(_score, batch_format="pyarrow")
+    joined = labels.join(scored, "inner", num_partitions, on=(id_col,))
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster_id", "score", id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = df.groupby("cluster_id", sort=False)
+        best = df.drop_duplicates("cluster_id")
+        sizes = g.size()
+        return pd.DataFrame(
+            {
+                "cluster_id": best["cluster_id"].to_numpy(),
+                "rep_id": best[id_col].to_numpy(),
+                "rep_score": best["score"].to_numpy(np.int64),
+                "n_members": sizes.loc[best["cluster_id"]].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(joined, "cluster_id", _best, num_partitions)
+
+
 def simhash_dedup_docs(
     ds: ray.data.Dataset,
     cfg: PipelineConfig | None = None,

@@ -57,6 +57,29 @@ def test_dedup_rate_by_group():
     assert out.loc["s2"].tolist() == [2, 1, 1]
 
 
+def test_cluster_best_representatives():
+    from fuzzy_matching_ray.extras.doc_dedup import cluster_best_representatives
+
+    dup = "the same long conversation text repeated verbatim for dedup " * 5
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            # doc 2 is the LONGEST member of the near-dup cluster {1,2}
+            "text": [dup, dup + " extra", "a unique doc"],
+        }
+    )
+    out = (
+        cluster_best_representatives(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("cluster_id")
+        .sort_index()
+    )
+    # min-id cluster label is "1", but the QUALITY rep is doc 2
+    assert out.loc["1", "rep_id"] == "2"
+    assert out.loc["1", "n_members"] == 2
+    assert out.loc["3", "rep_id"] == "3"
+
+
 def test_group_size_histogram():
     from fuzzy_matching_ray.extras.aggregates import group_size_histogram
 
