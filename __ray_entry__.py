@@ -118,38 +118,41 @@ def _ensure_golden(sf_dir: str) -> None:
         fixtures.ensure_flagship_golden(sf, _SF_CONVS[sf])
 
 
-def _q_dedup_minhash_clusters(sf_dir: str):
+# one flagship run serves clusters/reps/sizes: the three queries are
+# different VIEWS of the same deterministic result, so the harness
+# shouldn't pay three pipeline executions (results are materialized
+# datasets; keyed per sf_dir within this process)
+_FLAGSHIP_CACHE: dict = {}
+
+
+def _flagship_result(sf_dir: str):
     import ray.data as rd
 
     from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
 
-    _ensure_golden(sf_dir)
-    turns = rd.read_parquet(_transcripts_dir(sf_dir))
-    return dedup_transcripts(turns, _pipeline_cfg()).clusters
+    res = _FLAGSHIP_CACHE.get(sf_dir)
+    if res is None:
+        _ensure_golden(sf_dir)
+        turns = rd.read_parquet(_transcripts_dir(sf_dir))
+        res = _FLAGSHIP_CACHE[sf_dir] = dedup_transcripts(turns, _pipeline_cfg())
+    return res
+
+
+def _q_dedup_minhash_clusters(sf_dir: str):
+    return _flagship_result(sf_dir).clusters
 
 
 def _q_dedup_cluster_reps(sf_dir: str):
-    import ray.data as rd
-
-    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
-
-    _ensure_golden(sf_dir)
-    turns = rd.read_parquet(_transcripts_dir(sf_dir))
-    return dedup_transcripts(turns, _pipeline_cfg()).representatives
+    return _flagship_result(sf_dir).representatives
 
 
 def _q_dedup_cluster_sizes(sf_dir: str):
     """Cluster-size distribution of the flagship output — the dedup
     reporting view (how much mass sits in big near-dup families).
     Oracle: the same histogram over the brute-force golden clusters."""
-    import ray.data as rd
-
     from fuzzy_matching_ray.extras.aggregates import group_size_histogram
-    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
 
-    _ensure_golden(sf_dir)
-    turns = rd.read_parquet(_transcripts_dir(sf_dir))
-    clusters = dedup_transcripts(turns, _pipeline_cfg()).clusters
+    clusters = _flagship_result(sf_dir).clusters
     return group_size_histogram(
         clusters, key_col="cluster_id", size_name="cluster_size", count_name="n_clusters"
     )
