@@ -694,23 +694,14 @@ def incremental_dedup_pairs(
             {"nid": pa.array(nid_of(b["conv_id"].to_pylist()), pa.uint64())}
         )
 
-    @_ray.remote
-    def _sorted_unique(*tables: pa.Table) -> np.ndarray:
-        # 0-row blocks can arrive schema-less — skip them
-        arrs = [
-            t["nid"].to_numpy(zero_copy_only=False)
-            for t in tables
-            if t.num_rows and "nid" in t.schema.names
-        ]
-        return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+    from fuzzy_matching_ray.stages.blocks import sorted_unique_broadcast
 
-    nid_blocks = (
-        base_docs.select_columns(["conv_id"])
-        .map_batches(_nid_table, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
+    base_ref = sorted_unique_broadcast(
+        base_docs.select_columns(["conv_id"]).map_batches(
+            _nid_table, batch_format="pyarrow"
+        ),
+        "nid",
     )
-    base_ref = _sorted_unique.remote(*nid_blocks)
 
     if base_sigs is not None:
         sigs = compute_signatures(new_docs, cfg).union(base_sigs).materialize()

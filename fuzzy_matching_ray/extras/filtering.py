@@ -127,22 +127,11 @@ def decontaminate(
     # reduce the per-batch unique sets in ONE remote task whose return
     # value IS the broadcast object — the driver only ever holds the
     # ref, never the (possibly hundreds-of-MB) sorted hash array
-    @ray.remote
-    def _reduce(*tables: pa.Table) -> np.ndarray:
-        # 0-row blocks can arrive schema-less — skip them
-        arrs = [
-            t["g"].to_numpy(zero_copy_only=False)
-            for t in tables
-            if t.num_rows and "g" in t.schema.names
-        ]
-        return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+    from fuzzy_matching_ray.stages.blocks import sorted_unique_broadcast
 
-    blocks = (
-        bench_ds.map_batches(_bench_grams, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
+    bench_ref = sorted_unique_broadcast(
+        bench_ds.map_batches(_bench_grams, batch_format="pyarrow"), "g"
     )
-    bench_ref = _reduce.remote(*blocks)
 
     def _probe(batch: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)

@@ -511,8 +511,14 @@ def grouped_quantiles(
         newk = np.r_[True, keys[1:] != keys[:-1]]
         starts = np.flatnonzero(newk)
         counts = np.diff(np.append(starts, len(df)))
-        # rank ceil(q*n) - 1 within each group, offset by group start
-        picks = starts[:, None] + np.ceil(qarr[None, :] * counts[:, None]).astype(np.int64) - 1
+        # rank ceil(q*n) - 1 within each group, offset by group start;
+        # clamp the rank to ≥1 so q=0 picks the group MIN (DuckDB
+        # percentile_disc(0) semantics) instead of wrapping to the
+        # previous group's max via index -1
+        ranks = np.maximum(
+            np.ceil(qarr[None, :] * counts[:, None]).astype(np.int64), 1
+        )
+        picks = starts[:, None] + ranks - 1
         out = {key: keys[starts]}
         for j, nm in enumerate(out_names):
             out[nm] = vals[picks[:, j]]

@@ -367,7 +367,7 @@ def ensure_simhash_golden(sf: str, n_convs: int, seed: int = 42) -> dict[str, st
             buckets.setdefault((i, (sims[c] >> (i * width)) & mask), []).append(c)
 
     from fuzzy_matching_ray.hashing import nid_of
-    from fuzzy_matching_ray.stages.minhash import _bucket_pairs
+    from fuzzy_matching_ray.stages.minhash import _bucket_pairs, channel_code
 
     nids = nid_of(reps)
     by_nid = dict(zip(nids.tolist(), reps))
@@ -387,7 +387,7 @@ def ensure_simhash_golden(sf: str, n_convs: int, seed: int = 42) -> dict[str, st
         frame, _dropped = _bucket_pairs(
             np.asarray([rep_nid[m] for m in members], dtype=np.uint64),
             cfg.max_band_bucket,
-            "simhash",
+            channel_code("simhash"),  # int8 code (a string here raises)
             cfg.max_pairs_per_bucket,
         )
         for s, d in zip(frame["src"], frame["dst"]):

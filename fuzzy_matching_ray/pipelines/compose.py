@@ -79,17 +79,11 @@ def _minhash_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: st
         keep = ids.filter(pc.equal(ids, b["cluster_id"].cast(pa.string())))
         return pa.table({"nid": pa.array(nid_of(keep.to_pylist()), pa.uint64())})
 
-    @ray.remote
-    def _reduce(*tables: pa.Table) -> "np.ndarray":
-        arrs = [
-            t["nid"].to_numpy(zero_copy_only=False)
-            for t in tables
-            if t.num_rows and "nid" in t.schema.names
-        ]
-        return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+    from fuzzy_matching_ray.stages.blocks import sorted_unique_broadcast
 
-    blocks = labels.map_batches(_rep_nids, batch_format="pyarrow").materialize().to_arrow_refs()
-    reps_ref = _reduce.remote(*blocks)
+    reps_ref = sorted_unique_broadcast(
+        labels.map_batches(_rep_nids, batch_format="pyarrow"), "nid"
+    )
 
     def _keep(b: pa.Table) -> pa.Table:
         reps = ray.get(reps_ref)

@@ -50,6 +50,29 @@ def sum_where(
     return int(sum(ray.get(refs)))
 
 
+@ray.remote
+def _sorted_unique_reduce(col: str, *tables) -> np.ndarray:
+    """Sorted unique values of ``col`` across blocks.  0-row blocks
+    can arrive schema-less — skip them (the subtle guard every
+    broadcast-set build needs; keep ONE copy of it)."""
+    arrs = []
+    for t in tables:
+        tab = _to_table(t)
+        if tab.num_rows and col in tab.schema.names:
+            arrs.append(tab[col].to_numpy(zero_copy_only=False))
+    return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+
+
+def sorted_unique_broadcast(ds: ray.data.Dataset, col: str) -> "ray.ObjectRef":
+    """ObjectRef of the sorted unique ``col`` values of ``ds`` —
+    reduced in ONE remote task whose return value IS the broadcast
+    object (the driver only ever holds the ref).  The shared shape
+    behind every broadcast-membership probe: decontamination bench
+    sets, incremental-dedup base membership, composed near-dup drops."""
+    blocks = ds.materialize().to_arrow_refs()
+    return _sorted_unique_reduce.remote(col, *blocks)
+
+
 def _gather_block(block, col: str) -> list:
     t = _to_table(block)
     if t.num_rows == 0 or col not in t.column_names:

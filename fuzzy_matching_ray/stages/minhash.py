@@ -74,10 +74,18 @@ def channel_code(name: str) -> int:
     return CHANNEL_CODES[name]
 
 
-def decode_channels(codes: np.ndarray) -> np.ndarray:
-    """int8 code array → object array of channel names."""
-    names = np.empty(max(CHANNEL_CODES.values()) + 1, dtype=object)
-    for k, v in CHANNEL_CODES.items():
+def decode_channels(codes: np.ndarray, mapping: dict[str, int] | None = None) -> np.ndarray:
+    """int8 code array → object array of channel names.
+
+    Pass ``mapping`` when decoding inside a WORKER task: user-registered
+    channels mutate the driver's ``CHANNEL_CODES``, but workers import a
+    fresh module copy, so the caller must capture the driver-side dict
+    into its closure (see ``verify.score_and_filter``).  Codes beyond
+    the mapping decode to ``channel_<code>`` instead of raising."""
+    mapping = CHANNEL_CODES if mapping is None else mapping
+    size = max(max(mapping.values()), int(codes.max(initial=0))) + 1
+    names = np.array([f"channel_{i}" for i in range(size)], dtype=object)
+    for k, v in mapping.items():
         names[v] = k
     return names[codes]
 

@@ -97,9 +97,18 @@ class SimHashSignatures:
             )
             cnt = counts[d0:d1]
             acc_t = np.int16 if cnt.max() < (1 << 15) else np.int64
-            st = np.minimum(starts[d0:d1] - t0, t1 - t0 - 1)
-            ones = np.add.reduceat(bits.astype(acc_t), st, axis=0)
-            ones[cnt == 0] = 0  # reduceat misreports empty segments
+            # reduceat over NON-EMPTY docs only: their starts are
+            # strictly increasing and in range, and each segment ends
+            # exactly at the next non-empty start (empty docs
+            # contribute zero tokens).  The previous clamp-based
+            # formulation stole the last token of the preceding doc
+            # whenever a chunk ENDED with empty docs (out-of-range
+            # start clamped to t1-t0-1 → wrong boundary).
+            nz = np.flatnonzero(cnt > 0)
+            ones = np.zeros((d1 - d0, 64), dtype=acc_t)
+            ones[nz] = np.add.reduceat(
+                bits.astype(acc_t), (starts[d0:d1] - t0)[nz], axis=0
+            )
             sign[d0:d1] = (2 * ones.astype(np.int64) - cnt[:, None]) > 0
         packed = np.packbits(sign, axis=1)  # (n, 8) big-endian bytes
         return packed.view(">u8").reshape(n).astype(np.uint64)

@@ -53,6 +53,11 @@ def _sym_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 _SMALL_GRAPH_EDGES = 5_000_000
 
+# per-WORKER-PROCESS cache of the reassembled roots table (the attach
+# map runs as stateless tasks; concatenating the broadcast blocks once
+# per worker instead of once per batch)
+_ROOTS_CACHE: dict = {}
+
 
 def _uf_edge_batch(batch: pa.Table) -> pa.Table:
     """Single-task union-find over one (gathered) edge batch → one
@@ -140,23 +145,34 @@ def connected_components(
         )
         # label attach by BROADCAST, not shuffle: the root table is at
         # most one row per edge endpoint (≤ _SMALL_GRAPH_EDGES·2, in
-        # practice a few % of the corpus), so shipping its single
-        # block ref to a stateless map over the node blocks replaces
-        # the old union+sort exchange — which cost ~7s of pure
-        # shuffle/barrier overhead for a 160k-row attach at
-        # scale72000.  pc.index_in's hash probe is type-generic
-        # (string conv_ids and int64 vec_ids alike).
-        roots_ref = next(
+        # practice a few % of the corpus), so shipping its block refs
+        # to a stateless map over the node blocks replaces the old
+        # union+sort exchange — which cost ~7s of pure shuffle/barrier
+        # overhead for a 160k-row attach at scale72000.  ALL refs ride
+        # along: Ray's dynamic block splitting slices map_batches
+        # output past target_max_block_size, so a near-cap roots table
+        # arrives as several blocks — probing only the first would
+        # silently label the rest as singletons.  pc.index_in's hash
+        # probe is type-generic (string conv_ids and int64 vec_ids).
+        roots_refs = tuple(
             r for bundle in roots.iter_internal_ref_bundles() for r in bundle.block_refs
         )
 
-        def _attach(b: pa.Table, roots_ref=roots_ref) -> pa.Table:
+        def _attach(b: pa.Table, roots_refs=roots_refs) -> pa.Table:
             import pyarrow.compute as pc
             import ray as _ray
 
-            rt = _ray.get(roots_ref)
-            if isinstance(rt, pd.DataFrame):
-                rt = pa.Table.from_pandas(rt, preserve_index=False)
+            key = tuple(r.hex() for r in roots_refs)
+            rt = _ROOTS_CACHE.get(key)
+            if rt is None:
+                parts = [
+                    pa.Table.from_pandas(t, preserve_index=False)
+                    if isinstance(t, pd.DataFrame)
+                    else t
+                    for t in _ray.get(list(roots_refs))
+                ]
+                _ROOTS_CACHE.clear()
+                rt = _ROOTS_CACHE[key] = pa.concat_tables(parts).combine_chunks()
             own = b["conv_id"]
             if isinstance(own, pa.ChunkedArray):
                 own = own.combine_chunks()

@@ -35,9 +35,11 @@ _EDIT_PREFIX_CAP = 2048  # chars of text used for the edit-similarity gate
 # metric sentinel rows emitted by VerifierPool (one per batch) carrying
 # the estimate-gate skip count in edit_sim; never become edges
 GATE_CHANNEL = "__gate"
-# __gate's int8 code in the pair stream (see minhash.CHANNEL_CODES);
-# final edges decode back to the string name
-GATE_CODE = 5
+# __gate's int8 code in the pair stream — read from the registry so
+# the two constants can't drift
+from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES as _CHANNEL_CODES  # noqa: E402
+
+GATE_CODE = _CHANNEL_CODES[GATE_CHANNEL]
 
 
 def _as_arrow(batch) -> pa.Table:
@@ -892,6 +894,11 @@ def verify_pairs(
 
     thr = cfg.jaccard_threshold
     edit_thr = cfg.edit_accept_threshold
+    # capture the DRIVER's channel registry: user-registered channels
+    # mutate it here, but worker processes import a fresh copy
+    from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES
+
+    channel_names = dict(CHANNEL_CODES)
 
     def _filter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -909,7 +916,7 @@ def verify_pairs(
         chan = out["channel"]
         if isinstance(chan, pa.ChunkedArray):
             chan = chan.combine_chunks()
-        names = decode_channels(chan.to_numpy(zero_copy_only=False))
+        names = decode_channels(chan.to_numpy(zero_copy_only=False), channel_names)
         return pa.table(
             {
                 "src": out["src"],

@@ -63,6 +63,63 @@ def test_custom_channel_plugs_into_pipeline(ray_session, tiny_transcripts):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_custom_channel_edge_survives_to_decode(ray_session):
+    """A custom-channel candidate that PASSES verification must decode
+    its channel name on the worker (the driver-side registry isn't
+    visible in worker processes — regression for the captured-mapping
+    decode)."""
+    from fuzzy_matching_ray.hashing import nid_of
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    @register_channel("_test_dup_pair")
+    def _pair_dups(uniq_docs, sigs, cfg):
+        # per the channel contract, the code is assigned ON THE DRIVER
+        # at stage-build time (worker registries are fresh copies)
+        code = channel_code("_test_dup_pair")
+
+        def _emit(b: pa.Table) -> pa.Table:
+            # pair every doc with every other IN THIS BATCH — tiny
+            # corpus, so the near-identical pair is guaranteed emitted
+            nids = nid_of(b["conv_id"].to_pylist())
+            n = nids.size
+            iu, ju = np.triu_indices(n, k=1)
+            return pa.table(
+                {
+                    "src": pa.array(nids[iu], pa.uint64()),
+                    "dst": pa.array(nids[ju], pa.uint64()),
+                    "channel": pa.array(np.full(iu.size, code, np.int8), pa.int8()),
+                    "bucket_size": pa.array(np.full(iu.size, n, np.int32), pa.int32()),
+                    "dropped": pa.array(np.zeros(iu.size, np.int64), pa.int64()),
+                }
+            )
+
+        return uniq_docs.select_columns(["conv_id"]).map_batches(
+            _emit, batch_format="pyarrow", batch_size=None
+        )
+
+    import ray.data as rd2
+
+    body = "a genuinely long shared conversation body repeated verbatim " * 5
+    turns = rd2.from_pandas(
+        pd.DataFrame(
+            {
+                "conv_id": ["cA", "cB", "cC"],
+                "turn_idx": [0, 0, 0],
+                "role": ["user"] * 3,
+                "text": [body, body + " tail", "completely different short text"],
+                "tool": [""] * 3,
+                "ts": pd.to_datetime(["2026-01-01"] * 3),
+            }
+        )
+    ).repartition(1)
+    res = dedup_transcripts(
+        turns, PipelineConfig(num_partitions=2), channels=("_test_dup_pair",)
+    )
+    edges = res.edges.to_pandas()
+    assert len(edges) == 1  # cA–cB accepted, decode didn't crash
+    assert edges["channel"].iloc[0] == "_test_dup_pair"
+
+
 def test_simhash_batch_kernel_bit_identical():
     """The batched SimHash kernel must reproduce the scalar per-doc
     formulation bit-for-bit (the serial golden oracle depends on it)."""
@@ -100,3 +157,19 @@ def test_simhash_batch_kernel_bit_identical():
     got = SimHashSignatures(PipelineConfig())._simhash_batch(texts)
     exp = np.array([scalar(t) for t in texts], dtype=np.uint64)
     assert (got == exp).all()
+
+    # empty docs at segment ENDS (batch tail and the 256-doc chunk
+    # boundary): the old clamp-based reduceat stole the preceding
+    # doc's last token here
+    edge_cases = [
+        ["hello world foo", ""],
+        ["", "a b c", "", ""],
+        ["one two", "", "three four five", ""],
+        [""] * 4,
+        ["alpha beta gamma"] * 255 + [""] + ["delta epsilon"] * 10 + [""],
+    ]
+    kern = SimHashSignatures(PipelineConfig())
+    for case in edge_cases:
+        got = kern._simhash_batch(list(case))
+        exp = np.array([scalar(t) for t in case], dtype=np.uint64)
+        assert (got == exp).all(), case[:3]

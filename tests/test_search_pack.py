@@ -34,6 +34,20 @@ def test_grouped_quantiles_matches_disc_definition():
             assert out.loc[g, col] == expect, (g, col)
         assert out.loc[g, "n"] == n
 
+    # q=0 is percentile_disc(0) = the group MIN (regression: the
+    # unclamped rank ceil(0·n)-1 = -1 wrapped to a neighboring group)
+    out0 = (
+        grouped_quantiles(
+            rd.from_items(rows), key="k", val="v", qs=(0.0, 1.0),
+            out_names=("vmin", "vmax"), num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    for g, sub in df.groupby("k"):
+        assert out0.loc[g, "vmin"] == sub["v"].min()
+        assert out0.loc[g, "vmax"] == sub["v"].max()
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_bm25_ranks_term_dense_doc_first():

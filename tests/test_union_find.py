@@ -89,3 +89,24 @@ def test_int64_nodes_both_paths(ray_session, monkeypatch):
         assert out.conv_id.tolist() == [2, 7, 10, 30]
         assert out.cluster_id.tolist() == [2, 7, 2, 2]
         assert out.cluster_id.dtype == "int64"
+
+
+def test_small_graph_attach_survives_block_splitting(ray_session):
+    """Ray splits map_batches output past target_max_block_size, so
+    the broadcast roots table can arrive as SEVERAL blocks — the
+    attach must probe all of them (regression: only the first block's
+    labels were read, silently making later components singletons)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 4096  # force multi-block roots
+    try:
+        # 600 two-node components with fat ids → roots table ≫ 4 KiB
+        nodes = [f"node-{i:06d}-{'x' * 40}" for i in range(1200)]
+        edges = [(nodes[2 * i], nodes[2 * i + 1]) for i in range(600)]
+        lab = _run(nodes, edges)
+        for a, b in edges:
+            assert lab[a] == lab[b] == min(a, b)
+    finally:
+        ctx.target_max_block_size = old
