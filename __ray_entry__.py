@@ -626,6 +626,15 @@ def _q_shard_documents(sf_dir: str):
     return shard_documents(_read(sf_dir, "documents"))
 
 
+def _q_session_stats(sf_dir: str):
+    """Session-level rollup in the same shuffle as sessionization."""
+    from fuzzy_matching_ray.extras.relational import session_stats
+
+    return session_stats(
+        _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    )
+
+
 def _q_dedup_event_bursts(sf_dir: str):
     """Burst dedup: first event of every (user, type) burst survives;
     repeats within 60s collapse."""
@@ -1041,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_documents": _q_shard_documents,
         "lang_mismatch_documents": _q_lang_mismatch,
         "dedup_event_bursts": _q_dedup_event_bursts,
+        "session_stats": _q_session_stats,
     }
 
 
@@ -1597,6 +1607,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (w % 64)::BIGINT AS shard, "
             "(row_number() OVER (PARTITION BY w % 64 ORDER BY w, doc_id) - 1)::BIGINT AS pos "
             "FROM w"
+        ),
+        "session_stats": (
+            "WITH s AS (SELECT event_id, user_id, ts, "
+            "SUM(CASE WHEN prev_ts IS NULL OR "
+            "date_diff('microsecond', prev_ts, ts) > 1800000000 "
+            "THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id "
+            "FROM (SELECT event_id, user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events)), "
+            "o AS (SELECT user_id, session_id, event_id, "
+            "row_number() OVER (PARTITION BY user_id, session_id "
+            "ORDER BY ts, event_id) AS rn FROM s), "
+            "a AS (SELECT user_id, session_id, count(*)::BIGINT AS n_events, "
+            "date_diff('microsecond', min(ts), max(ts))::BIGINT AS span_us "
+            "FROM s GROUP BY user_id, session_id) "
+            "SELECT a.user_id, CAST(a.session_id AS BIGINT) AS session_id, "
+            "a.n_events, a.span_us, f.event_id AS first_event_id "
+            "FROM a JOIN (SELECT * FROM o WHERE rn = 1) f "
+            "USING (user_id, session_id)"
         ),
         "dedup_event_bursts": (
             "WITH o AS (SELECT event_id, user_id, event_type, ts, "

@@ -224,6 +224,70 @@ def sessionize(
     return bucketed_group_apply(slim, "key", _sess, num_partitions)
 
 
+def session_stats(
+    events: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Session-level rollup in the SAME shuffle as sessionization:
+    ``(key, session_id, n_events, span_us, first_event_id)`` — the
+    event log → per-session documents step.  Identical session
+    boundaries to :func:`sessionize` (µs gap compare, ``(ts, id)``
+    tiebreak); the rollup is a vectorized segment reduction inside the
+    bucket, so turning 10⁹ events into sessions costs exactly one
+    exchange, not sessionize + a second groupby."""
+    gap_us = np.int64(gap_seconds) * np.int64(1_000_000)
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": b[id_col].cast(pa.int64()), "key": b[key], "ts": b[ts]}
+        )
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype=object),
+                    "session_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "span_us": pd.Series(dtype="int64"),
+                    "first_event_id": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["key", "ts", "id"], kind="mergesort")
+        keys = df["key"].to_numpy()
+        ids = df["id"].to_numpy()
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=new_key[1:])
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = 0
+        np.subtract(ts_us[1:], ts_us[:-1], out=gap[1:])
+        new_sess = new_key | (gap > gap_us)
+        s_start = np.flatnonzero(new_sess)
+        s_end = np.append(s_start[1:], len(df))
+        cum = np.cumsum(new_sess)
+        k_start = np.flatnonzero(new_key)
+        base = np.repeat(cum[k_start], np.diff(np.append(k_start, len(df))))
+        return pd.DataFrame(
+            {
+                key: keys[s_start],
+                "session_id": (cum[s_start] - base[s_start] + 1).astype(np.int64),
+                "n_events": (s_end - s_start).astype(np.int64),
+                "span_us": (ts_us[s_end - 1] - ts_us[s_start]).astype(np.int64),
+                "first_event_id": ids[s_start].astype(np.int64),
+            }
+        )
+
+    slim = events.map_batches(_prep, batch_format="pyarrow")
+    return bucketed_group_apply(slim, "key", _roll, num_partitions)
+
+
 def grouped_topk(
     ds: ray.data.Dataset,
     *,

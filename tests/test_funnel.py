@@ -71,3 +71,32 @@ def test_funnel_order_and_ties():
         .sort_index()
     )
     assert out.to_dict() == {"u1": 3, "u2": 1, "u3": 2, "u4": 2, "u6": 2}
+
+
+def test_session_stats_boundaries_match_sessionize():
+    """Rollup counts must agree with the sessionize labels, and span
+    is max-min within the session (µs)."""
+    from fuzzy_matching_ray.extras.relational import session_stats, sessionize
+
+    rows = []
+    eid = 0
+    for u, secs in ((1, [0, 10, 4000, 4005]), (2, [0])):
+        for s in secs:
+            rows.append((eid, u, _ts_sec(s)))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    ds = rd.from_pandas(df)
+    stats = (
+        session_stats(ds, gap_seconds=1800, num_partitions=2)
+        .to_pandas()
+        .set_index(["user_id", "session_id"])
+        .sort_index()
+    )
+    # u1: sessions {0,10} and {4000,4005}; u2: one singleton
+    assert stats.loc[(1, 1)].tolist() == [2, 10_000_000, 0]
+    assert stats.loc[(1, 2)].tolist() == [2, 5_000_000, 2]
+    assert stats.loc[(2, 1)].tolist() == [1, 0, 4]
+    # label agreement
+    lab = sessionize(ds, key="user_id", ts="ts", id_col="event_id").to_pandas()
+    sizes = lab.groupby(["user_id", "session_id"]).size()
+    assert sizes.to_dict() == stats["n_events"].to_dict()
