@@ -626,6 +626,16 @@ def _q_shard_documents(sf_dir: str):
     return shard_documents(_read(sf_dir, "documents"))
 
 
+def _q_top_tokens_per_lang(sf_dir: str):
+    """Per-language top-10 tokens (domain vocabulary profile):
+    combiner-first two-level exact aggregation."""
+    from fuzzy_matching_ray.extras.aggregates import grouped_top_tokens
+
+    return grouped_top_tokens(
+        _read(sf_dir, "documents").select_columns(["lang", "text"]), group_col="lang"
+    )
+
+
 def _q_session_stats(sf_dir: str):
     """Session-level rollup in the same shuffle as sessionization."""
     from fuzzy_matching_ray.extras.relational import session_stats
@@ -1051,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mismatch_documents": _q_lang_mismatch,
         "dedup_event_bursts": _q_dedup_event_bursts,
         "session_stats": _q_session_stats,
+        "top_tokens_per_lang": _q_top_tokens_per_lang,
     }
 
 
@@ -1607,6 +1618,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (w % 64)::BIGINT AS shard, "
             "(row_number() OVER (PARTITION BY w % 64 ORDER BY w, doc_id) - 1)::BIGINT AS pos "
             "FROM w"
+        ),
+        "top_tokens_per_lang": (
+            "WITH t AS (SELECT lang, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token "
+            "FROM documents), "
+            "c AS (SELECT lang, token, count(*)::BIGINT AS n "
+            "FROM t GROUP BY lang, token), "
+            "r AS (SELECT lang, token, n, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n DESC, token ASC) AS rnk FROM c) "
+            "SELECT lang, token, n, rnk::BIGINT AS term_rank FROM r WHERE rnk <= 10"
         ),
         "session_stats": (
             "WITH s AS (SELECT event_id, user_id, ts, "

@@ -51,6 +51,73 @@ def token_heavy_hitters(
     return bucketed_group_apply(partial, "token", _final, num_partitions)
 
 
+def grouped_top_tokens(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 10,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Top-``k`` tokens per group by exact global count —
+    ``(group, token, n, term_rank)`` with ties broken token-ASC.  The
+    per-domain vocabulary profile a corpus-mixing pipeline reports.
+
+    Two-level exact aggregation, combiner-first like
+    :func:`token_heavy_hitters`: batches emit ``(group, token, n)``
+    partials (one row per distinct pair per batch), a token-keyed
+    bucket sums them globally, and a second tiny group-keyed pass —
+    cardinality = distinct tokens per group, not occurrences — picks
+    the top ``k`` vectorized."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        toks = (
+            batch[text_col].fillna("").astype(str).str.lower().str.split().explode()
+        )
+        toks = toks[toks.notna() & (toks != "")]
+        if toks.empty:
+            return pd.DataFrame({"grp": [], "token": [], "n": []})
+        g = (
+            pd.DataFrame(
+                {
+                    "grp": batch[group_col].reindex(toks.index).to_numpy(dtype=object),
+                    "token": toks.to_numpy(dtype=object),
+                }
+            )
+            .groupby(["grp", "token"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["grp", "token"], sort=False)["n"].sum().reset_index()
+        )
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["grp", "n", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = df.groupby("grp", sort=False).head(k).copy()
+        top["term_rank"] = top.groupby("grp", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                group_col: top["grp"].to_numpy(dtype=object),
+                "token": top["token"].to_numpy(dtype=object),
+                "n": top["n"].to_numpy(np.int64),
+                "term_rank": top["term_rank"].to_numpy(np.int64),
+            }
+        )
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    summed = bucketed_group_apply(partial, "token", _sum, num_partitions)
+    return bucketed_group_apply(summed, "grp", _topk, 8)
+
+
 def pivot_counts(
     ds: ray.data.Dataset,
     *,

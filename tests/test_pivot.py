@@ -57,6 +57,31 @@ def test_dedup_rate_by_group():
     assert out.loc["s2"].tolist() == [2, 1, 1]
 
 
+def test_grouped_top_tokens():
+    from fuzzy_matching_ray.extras.aggregates import grouped_top_tokens
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "de", "de"],
+            "text": ["the cat the dog", "the cat", "der der hund", "der"],
+        }
+    )
+    out = (
+        grouped_top_tokens(
+            rd.from_pandas(df).repartition(3), group_col="lang", k=2, num_partitions=2
+        )
+        .to_pandas()
+        .sort_values(["lang", "term_rank"])
+        .reset_index(drop=True)
+    )
+    en = out[out["lang"] == "en"]
+    assert en["token"].tolist() == ["the", "cat"]  # the×3 across batches
+    assert en["n"].tolist() == [3, 2]
+    de = out[out["lang"] == "de"]
+    assert de["token"].tolist() == ["der", "hund"]
+    assert de["n"].tolist() == [3, 1]
+
+
 def test_cluster_best_representatives():
     from fuzzy_matching_ray.extras.doc_dedup import cluster_best_representatives
 
