@@ -256,7 +256,9 @@ def cmd_run(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    out = run(rd.read_parquet(args.input))
+    # materialize once: write + count off the same execution (a lazy
+    # write_parquet followed by count() would run the whole plan twice)
+    out = run(rd.read_parquet(args.input)).materialize()
     out.write_parquet(args.output)
     print(json.dumps({"rows_out": out.count(), "steps": [s["op"] for s in spec["steps"]]}))
     return 0

@@ -77,11 +77,24 @@ def grouped_top_tokens(
         )
         toks = toks[toks.notna() & (toks != "")]
         if toks.empty:
-            return pd.DataFrame({"grp": [], "token": [], "n": []})
+            # typed empty frame: an all-float64 empty block refuses to
+            # schema-merge with the real (string,string,int64) blocks
+            return pd.DataFrame(
+                {
+                    "grp": pd.Series(dtype=object),
+                    "token": pd.Series(dtype=object),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
         g = (
             pd.DataFrame(
                 {
-                    "grp": batch[group_col].reindex(toks.index).to_numpy(dtype=object),
+                    # NULL groups fold to '' so no row silently
+                    # vanishes (pandas groupby drops NaN keys)
+                    "grp": batch[group_col]
+                    .reindex(toks.index)
+                    .fillna("")
+                    .to_numpy(dtype=object),
                     "token": toks.to_numpy(dtype=object),
                 }
             )

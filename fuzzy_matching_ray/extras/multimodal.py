@@ -187,10 +187,15 @@ class MediaFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         np = self._np
-        ids = batch["doc_id"].to_pylist()
         blobs = batch["media"].to_pylist()
         n_b, b_sum, mx, hi = [], [], [], []
         for blob in blobs:
+            if len(blob) < 8 or blob[:4] != _MAGIC:
+                # same contract as MediaDecodeStage: loud, not garbage
+                raise NotImplementedError(
+                    "no real codec in this container; only the FMRB "
+                    "fake format is feature-extractable"
+                )
             payload = np.frombuffer(blob, dtype=np.uint8)[8:]  # strip header
             n_b.append(int(payload.size))
             b_sum.append(int(payload.sum(dtype=np.int64)))
@@ -198,7 +203,7 @@ class MediaFeatureStage:
             hi.append(int(np.count_nonzero(payload >= 0x80)))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": batch["doc_id"],  # id type rides through
                 "n_bytes": pa.array(n_b, pa.int64()),
                 "byte_sum": pa.array(b_sum, pa.int64()),
                 "max_byte": pa.array(mx, pa.int64()),

@@ -596,7 +596,7 @@ def grouped_quantiles(
 def hash_sample(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
-    cols: tuple[str, ...] = ("doc_id", "text"),
+    cols: tuple[str, ...] | None = ("doc_id", "text"),
     hex_threshold: str = "33",
 ) -> ray.data.Dataset:
     """Deterministic content-addressed sample: keep rows whose
@@ -633,7 +633,11 @@ def hash_sample(
                 dtype=bool,
                 count=len(ids),
             )
-        return pa.table({c: b[c].filter(pa.array(keep)) for c in cols})
+        # cols=None keeps every column, resolved per batch (reading
+        # the schema off the batch is free; ds.schema() on a lazy
+        # dataset would force an extra upstream execution)
+        keep_cols = b.column_names if cols is None else cols
+        return pa.table({c: b[c].filter(pa.array(keep)) for c in keep_cols})
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 

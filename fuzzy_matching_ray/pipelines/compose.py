@@ -54,9 +54,42 @@ def _lang_filter(ds: ray.data.Dataset, *, keep: tuple = ("en",), id_col: str = "
 
 
 def _exact_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Keep one FULL row per identical text (survivor = min id):
+    the projecting ``exact_dedup_docs`` yields only (id, text), so the
+    composed step instead broadcasts the survivor-id set and filters —
+    every payload column rides through."""
     from fuzzy_matching_ray.extras.doc_dedup import exact_dedup_docs
 
-    return exact_dedup_docs(ds, id_col=id_col, text_col=text_col)
+    survivors = exact_dedup_docs(ds, id_col=id_col, text_col=text_col)
+    return _keep_members(ds, survivors, id_col)
+
+
+def _keep_members(
+    ds: ray.data.Dataset, members: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset:
+    """Filter ``ds`` to rows whose id appears in ``members[id_col]``:
+    broadcast sorted-nid membership probe (ids-only set, read
+    zero-copy by every filter task), full rows ride through."""
+    import ray
+
+    from fuzzy_matching_ray.hashing import nid_of, sorted_member
+    from fuzzy_matching_ray.stages.blocks import sorted_unique_broadcast
+
+    def _nids(b: pa.Table) -> pa.Table:
+        ids = b[id_col].cast(pa.string())
+        return pa.table({"nid": pa.array(nid_of(ids.to_pylist()), pa.uint64())})
+
+    keep_ref = sorted_unique_broadcast(
+        members.select_columns([id_col]).map_batches(_nids, batch_format="pyarrow"),
+        "nid",
+    )
+
+    def _keep(b: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        nids = nid_of([str(v) for v in b[id_col].to_pylist()])
+        return b.filter(pa.array(sorted_member(keep, nids)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
 
 
 def _minhash_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
@@ -64,46 +97,52 @@ def _minhash_dedup(ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: st
     cluster): labels via the LSH pipeline, survivors via a broadcast
     membership probe (the label table is ids-only — far smaller than
     the corpus — and read zero-copy by every filter task)."""
-    import numpy as np
-    import ray
-
     from fuzzy_matching_ray.extras.doc_dedup import minhash_dedup_docs
-    from fuzzy_matching_ray.hashing import nid_of, sorted_member
 
     labels = minhash_dedup_docs(ds, id_col=id_col, text_col=text_col)
 
-    def _rep_nids(b: pa.Table) -> pa.Table:
+    def _reps(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         ids = b[id_col].cast(pa.string())
         keep = ids.filter(pc.equal(ids, b["cluster_id"].cast(pa.string())))
-        return pa.table({"nid": pa.array(nid_of(keep.to_pylist()), pa.uint64())})
+        return pa.table({id_col: keep})
 
-    from fuzzy_matching_ray.stages.blocks import sorted_unique_broadcast
-
-    reps_ref = sorted_unique_broadcast(
-        labels.map_batches(_rep_nids, batch_format="pyarrow"), "nid"
-    )
-
-    def _keep(b: pa.Table) -> pa.Table:
-        reps = ray.get(reps_ref)
-        nids = nid_of([str(v) for v in b[id_col].to_pylist()])
-        return b.filter(pa.array(sorted_member(reps, nids)))
-
-    return ds.map_batches(_keep, batch_format="pyarrow")
+    reps = labels.map_batches(_reps, batch_format="pyarrow")
+    return _keep_members(ds, reps, id_col)
 
 
 def _redact_pii(ds: ray.data.Dataset, *, text_col: str = "text") -> ray.data.Dataset:
-    from fuzzy_matching_ray.extras.filtering import redact_pii
+    """Composed-step variant of ``filtering.redact_pii``: redacts the
+    text IN PLACE and appends audit counts — every other column rides
+    through (the standalone operator projects to its audit schema)."""
+    import pyarrow.compute as pc
 
-    return redact_pii(ds, text_col=text_col)
+    from fuzzy_matching_ray.extras.filtering import PII_PATTERNS
+
+    def _r(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        counts = {
+            f"n_{name}": pc.count_substring_regex(text, pat).cast(pa.int64())
+            for name, pat, _ in PII_PATTERNS
+        }
+        red = text
+        for _, pat, repl in PII_PATTERNS:
+            red = pc.replace_substring_regex(red, pat, repl)
+        out = batch.set_column(batch.column_names.index(text_col), text_col, red)
+        for k, v in counts.items():
+            out = out.append_column(k, v)
+        return out
+
+    return ds.map_batches(_r, batch_format="pyarrow")
 
 
 def _hash_sample(ds: ray.data.Dataset, *, hex_threshold: str = "33", id_col: str = "doc_id") -> ray.data.Dataset:
     from fuzzy_matching_ray.extras.relational import hash_sample
 
-    names = ds.schema().names
-    return hash_sample(ds, id_col=id_col, cols=tuple(names), hex_threshold=hex_threshold)
+    # cols=None keeps every column, resolved per batch — ds.schema()
+    # here would force an extra execution of the upstream lazy plan
+    return hash_sample(ds, id_col=id_col, cols=None, hex_threshold=hex_threshold)
 
 
 def _shard(ds: ray.data.Dataset, *, n_shards: int = 64, id_col: str = "doc_id") -> ray.data.Dataset:

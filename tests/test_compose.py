@@ -46,11 +46,17 @@ def test_composed_chain(ray_session):
         "steps": [
             {"op": "quality_filter", "min_words": 4},
             {"op": "exact_dedup"},
+            {"op": "redact_pii"},
             {"op": "minhash_dedup"},
             {"op": "shard", "n_shards": 4},
         ]
     }
-    out = build_pipeline(spec)(rd.from_pandas(_docs())).to_pandas()
+    src = _docs()
+    src["source"] = "web"  # payload column that must ride through
+    out = build_pipeline(spec)(rd.from_pandas(src)).to_pandas()
+    # every step preserves full rows: payload columns survive the chain
+    assert {"doc_id", "text", "source", "shard", "n_email"} <= set(out.columns)
+    assert (out["source"] == "web").all()
     kept = sorted(out["doc_id"].tolist())
     # 2 fails quality; 1 exact-dups 0; 4 near-dups 0 (rep = min id 0)
     assert kept == [0, 3, 5, 6, 7]
