@@ -64,3 +64,19 @@ def test_composed_chain(ray_session):
     for _, row in out.iterrows():
         w = int.from_bytes(hashlib.md5(str(row["doc_id"]).encode()).digest()[:4], "big")
         assert row["shard"] == w % 4
+
+
+def test_lang_filter_step(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the cat is on the mat with a hat for it",
+                "el gato es una manta que para los del",
+            ],
+        }
+    )
+    out = build_pipeline({"steps": [{"op": "lang_filter", "keep": ["en"]}]})(
+        rd.from_pandas(df)
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [1]
