@@ -218,7 +218,10 @@ def attach_texts_broadcast(
     ~12s at scale24000 in attach_s).  Any failure falls back, loudly
     and counted, to the driver-side gather (which retains per-block
     repack repair)."""
-    has_shingles = sigs is not None and "shingles" in sigs.schema().names
+    # schema() is None for a fully-empty materialized dataset (the
+    # 0-doc corpus edge): treat it as signatures-without-shingles
+    sig_schema = sigs.schema() if sigs is not None else None
+    has_shingles = sig_schema is not None and "shingles" in sig_schema.names
     try:
         # gather straight from the (materialized) datasets: the pack
         # fns project the columns they need, and

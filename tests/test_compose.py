@@ -80,3 +80,25 @@ def test_lang_filter_step(ray_session):
         rd.from_pandas(df)
     ).to_pandas()
     assert out["doc_id"].tolist() == [1]
+
+
+def test_composed_chain_empty_input(ray_session):
+    """The full composed chain must stream a 0-row dataset through
+    (broadcast membership sets come back empty, not crashed)."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("source", pa.string())]
+    )
+    spec = {
+        "steps": [
+            {"op": "quality_filter", "min_words": 4},
+            {"op": "exact_dedup"},
+            {"op": "minhash_dedup"},
+            {"op": "redact_pii"},
+            {"op": "hash_sample", "hex_threshold": "80"},
+            {"op": "shard", "n_shards": 4},
+        ]
+    }
+    out = build_pipeline(spec)(rd.from_arrow(schema.empty_table()))
+    assert out.count() == 0
