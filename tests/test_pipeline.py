@@ -202,3 +202,36 @@ def test_flagship_equals_bruteforce_all_pairs(ray_session, tiny_transcripts):
         {"conv_id": ids, "cluster_id": [find(c) for c in ids]}
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_single_conversation_corpus(ray_session):
+    """n=1 corpus: singleton cluster, no edges, no stage crashes."""
+    rows = [
+        {"conv_id": "only", "turn_idx": t, "role": "user",
+         "text": f"the single conversation turn {t}",
+         "tool": "", "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)}
+        for t in range(3)
+    ]
+    res = dedup_transcripts(rd.from_pandas(pd.DataFrame(rows)), PipelineConfig(num_partitions=2))
+    cl = res.clusters.to_pandas()
+    assert cl["conv_id"].tolist() == ["only"]
+    assert cl["cluster_id"].tolist() == ["only"]
+    assert res.edges.count() == 0
+
+
+def test_all_identical_corpus(ray_session):
+    """Every conversation identical: ONE cluster labeled by the min id
+    (the maximal hot-band / exact-dup stress shape)."""
+    rows = []
+    for i in range(12):
+        for t in range(2):
+            rows.append(
+                {"conv_id": f"c{i:02d}", "turn_idx": t, "role": "user",
+                 "text": f"the one shared conversation body turn {t}",
+                 "tool": "", "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)}
+            )
+    res = dedup_transcripts(rd.from_pandas(pd.DataFrame(rows)), PipelineConfig(num_partitions=2))
+    cl = res.clusters.to_pandas()
+    assert set(cl["cluster_id"]) == {"c00"}
+    assert len(cl) == 12
+    assert res.representatives.count() == 1
