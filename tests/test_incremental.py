@@ -142,3 +142,19 @@ def test_incremental_workdir_refuses_stale_base(tmp_path):
     r2 = incremental_dedup_pairs(new, base_v2, workdir=wd).to_pandas()
     got = {tuple(r) for r in r2[["src", "dst"]].itertuples(index=False)}
     assert ("1", "2") in got, "stale base checkpoint was silently reused"
+
+
+def test_incremental_empty_sides(ray_session):
+    """Empty new batch → no pairs; empty base → plain within-new dedup."""
+    import pandas as pd
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["a long shared body of text here " * 3] * 2}
+        )
+    )
+    empty = rd.from_arrow(schema.empty_table())
+    assert incremental_dedup_pairs(empty, docs).count() == 0
+    assert incremental_dedup_pairs(docs, empty).count() == 1
