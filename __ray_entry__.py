@@ -53,6 +53,8 @@ def _ensure_oracle_fixtures() -> None:
     fixtures.ensure_simhash_golden("sf0.01", _SF_CONVS["sf0.01"])
     fixtures.ensure_substring_golden("sf0.01", _SF_CONVS["sf0.01"])
     fixtures.ensure_fingerprint_golden("/root/testdata/sf0.01")
+    fixtures.ensure_ann_golden("/root/testdata/sf0.01")
+    fixtures.ensure_hll_golden("/root/testdata/sf0.01")
 
 
 try:  # never let fixture generation break module import...
@@ -336,6 +338,10 @@ def _q_knn_lsh(sf_dir: str):
 
     from fuzzy_matching_ray.extras.ann import knn_lsh
 
+    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_ann_golden(sf_dir)
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     head = t.slice(0, 10)
     qids = head["vec_id"].to_pylist()
@@ -349,6 +355,10 @@ def _q_knn_ivf(sf_dir: str):
 
     from fuzzy_matching_ray.extras.ann import knn_ivf
 
+    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_ann_golden(sf_dir)
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     head = t.slice(0, 10)
     qids = head["vec_id"].to_pylist()
@@ -689,11 +699,16 @@ def _q_length_deciles(sf_dir: str):
 
 
 def _q_approx_ndistinct(sf_dir: str):
-    """HLL distinct-user estimate per event type.  Rows-only by
-    contract (a sketch estimate has no SQL-exact mirror); accuracy is
-    gated in pytest (<8% relative error vs exact)."""
+    """HLL distinct-user estimate per event type.  The sketch is
+    deterministic given the hash, so the sf0.01 oracle is a serial
+    integer-bit-scan golden (fixtures.ensure_hll_golden); accuracy is
+    additionally gated in pytest (<8% relative error vs exact)."""
     from fuzzy_matching_ray.extras.aggregates import approx_ndistinct
 
+    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_hll_golden(sf_dir)
     return approx_ndistinct(
         _read(sf_dir, "events").select_columns(["event_type", "user_id"]),
         key_col="event_type",
@@ -997,20 +1012,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid,
         "fingerprint_documents": _q_fingerprints,
         "minhash_dedup_documents": _q_minhash_dedup_documents,
-        # embeddings.  knn_lsh is DELIBERATELY rows-only: hyperplane-LSH
-        # ANN is approximate by contract (neighbor sets depend on the
-        # random hyperplanes), so a value oracle would either duplicate
-        # the implementation or pin an arbitrary seed's output; its
-        # quality gate is the pytest recall assertion instead
-        # (measured 0.999 recall@5 vs brute force at 10x corpus).
+        # embeddings.  knn_lsh / knn_ivf are approximate by contract
+        # (recall gated in pytest) but deterministic at their pinned
+        # seeds, so their sf0.01 oracles are serial per-query goldens
+        # (fixtures.ensure_ann_golden) — value-hashable like the
+        # simhash/substring channels.
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
-        # knn_ivf is rows-only for the same reason as knn_lsh: the IVF
-        # quantizer is approximate by contract (neighbor sets depend on
-        # the trained centroids); its quality gate is the pytest recall
-        # assertion in tests/test_ann.py
         "knn_ivf": _q_knn_ivf,
         # relational coverage (groupby/sort/limit/join/window)
         "lineitem_agg": _q_lineitem_agg,
@@ -1032,7 +1042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
         "token_heavy_hitters": _q_token_heavy_hitters,
-        # HLL sketch — rows-only by contract (pytest error gate)
+        # HLL sketch — deterministic given the hash; serial bit-scan
+        # golden oracle at sf0.01 plus a pytest relative-error gate
         "approx_ndistinct_events": _q_approx_ndistinct,
         "incremental_dedup_pairs": _q_incremental_dedup,
         "redact_pii_documents": _q_redact_pii,
@@ -1085,6 +1096,9 @@ FIXTURE_ORACLE_QUERIES = frozenset(
         "boilerplate_turns",
         "record_match_persons",
         "transliterate_persons",
+        "knn_lsh",
+        "knn_ivf",
+        "approx_ndistinct_events",
     }
 )
 
@@ -1343,6 +1357,20 @@ def oracle_sql() -> dict[str, str]:
             "reach(a, b) AS (SELECT vec_id, vec_id FROM embeddings UNION "
             "SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src) "
             "SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a"
+        ),
+        "knn_lsh": (
+            # serial golden (fixtures.ensure_ann_golden): same seeded
+            # hyperplanes, independent per-query candidate loops —
+            # deterministic at the pinned seed, so value-hashable
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/ann_golden_sf0.01/knn_lsh.parquet')"
+        ),
+        "knn_ivf": (
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/ann_golden_sf0.01/knn_ivf.parquet')"
+        ),
+        "approx_ndistinct_events": (
+            # serial golden (fixtures.ensure_hll_golden): integer
+            # bit-scan registers, same HLL estimate formula
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/hll_golden_sf0.01/ndv.parquet')"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "

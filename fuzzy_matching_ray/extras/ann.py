@@ -31,6 +31,42 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+_EMPTY_TOPK = {
+    "query_id": pd.Series(dtype="int64"),
+    "neighbor_id": pd.Series(dtype="int64"),
+    "rank": pd.Series(dtype="int64"),
+}
+
+
+def _global_topk(partials: ray.data.Dataset, k: int) -> pd.DataFrame:
+    """Distributed final merge: per-query top-k over the per-batch
+    candidate partials via ``grouped_topk`` (partial combiner before
+    the shuffle), so the driver collects ≤ Q·k rows no matter how many
+    corpus blocks emitted candidates.  Ranking is the shared total
+    order: rounded sim DESC, neighbor_id ASC."""
+    from fuzzy_matching_ray.extras.relational import grouped_topk
+
+    ranked = grouped_topk(
+        partials,
+        key="query_id",
+        val="sim",
+        tiebreak="neighbor_id",
+        k=k,
+        num_partitions=8,
+    )
+    df = ranked.to_pandas()  # ≤ Q×k rows by construction
+    if df.empty:
+        return pd.DataFrame(_EMPTY_TOPK)
+    df = df.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "query_id": df["query_id"].to_numpy(np.int64),
+            "neighbor_id": df["neighbor_id"].to_numpy(np.int64),
+            "rank": df["rk"].to_numpy(np.int64),
+        }
+    )
+
+
 def knn_bruteforce(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -76,13 +112,7 @@ def knn_bruteforce(
         )
 
     partials = ds.map_batches(_partial_topk, batch_format="pandas", batch_size=4096)
-    df = partials.to_pandas()
-    # global reduce: per query, deterministic rank by (-sim, neighbor_id)
-    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True],
-                        kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    out = df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
-    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+    return _global_topk(partials, k)
 
 
 class HyperplaneLSH:
@@ -208,24 +238,7 @@ def knn_ivf(
         ).astype({"query_id": "int64", "neighbor_id": "int64"})
 
     partials = ds.map_batches(_probe, batch_format="pandas", batch_size=4096)
-    df = partials.to_pandas()
-    if df.empty:
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype="int64"),
-                "neighbor_id": pd.Series(dtype="int64"),
-                "rank": pd.Series(dtype="int64"),
-            }
-        )
-    df = df.sort_values(
-        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], kind="mergesort"
-    )
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return (
-        df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]]
-        .reset_index(drop=True)
-        .astype("int64")
-    )
+    return _global_topk(partials, k)
 
 
 def knn_lsh(
@@ -286,14 +299,7 @@ def knn_lsh(
             {"query_id": "int64", "neighbor_id": "int64"}
         )
 
+    # no cross-batch duplicates by construction: each corpus row lives
+    # in exactly one batch and the per-batch mask already unions tables
     partials = ds.map_batches(_candidates, batch_format="pandas", batch_size=4096)
-    df = partials.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                             "neighbor_id": pd.Series(dtype="int64"),
-                             "rank": pd.Series(dtype="int64")})
-    df = df.drop_duplicates(["query_id", "neighbor_id"])
-    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True],
-                        kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]].reset_index(drop=True).astype("int64")
+    return _global_topk(partials, k)

@@ -573,3 +573,182 @@ def ensure_fingerprint_golden(sf_dir: str, k: int = 8, window: int = 16) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out_path
+
+
+def ensure_ann_golden(sf_dir: str, k: int = 5) -> dict[str, str]:
+    """Serial goldens for the approximate ANN queries (``knn_lsh`` /
+    ``knn_ivf``), so the driver can value-hash them instead of the
+    weaker rows-only check.
+
+    Both algorithms are deterministic by construction (seeded
+    hyperplanes, seeded k-means), so their output at a pinned seed IS a
+    checkable contract.  The golden reuses the *driver-side* scalar
+    artifacts (plane matrix / centroid trainer — tiny, non-distributed
+    code both paths must share for the outputs to be comparable at
+    all) but recomputes bucketing, candidate generation, similarity
+    and ranking with independent per-query/per-row Python loops —
+    exercising none of the distributed batched kernels
+    (``extras/ann.py`` ``_candidates``/``_probe``/``grouped_topk``)."""
+    import numpy as np
+
+    from fuzzy_matching_ray.extras.ann import (
+        HyperplaneLSH,
+        _normalize,
+        train_ivf_centroids,
+    )
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT, f"ann_golden_{sf}")
+    paths = {
+        "lsh": os.path.join(out_dir, "knn_lsh.parquet"),
+        "ivf": os.path.join(out_dir, "knn_ivf.parquet"),
+    }
+    marker = os.path.join(out_dir, f"_done_{k}")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = [int(v) for v in tbl["vec_id"].to_pylist()]
+    raw = [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    # normalize with the library's shared scalar helper so the unit
+    # vectors are bit-identical to both query paths (a re-derived
+    # normalization could differ in the last ulp and flip a rounded
+    # tie at the k boundary)
+    nmat = _normalize(np.stack(raw))
+    vecs = [nmat[i] for i in range(nmat.shape[0])]
+    n_rows = len(ids)
+    q_n = 10  # first 10 rows in file order — mirrors _q_knn_lsh/_q_knn_ivf
+
+    def _rank_and_take(cand: list[tuple[float, int]]) -> list[tuple[int, int]]:
+        """(sim, id) candidates → [(neighbor_id, rank)] top-k by
+        rounded sim DESC, id ASC (the shared total order)."""
+        cand.sort(key=lambda p: (-p[0], p[1]))
+        return [(nid, r + 1) for r, (_, nid) in enumerate(cand[:k])]
+
+    # ---- LSH golden (bits=10, n_tables=6, seed=42, exclude_self) ----
+    lsh = HyperplaneLSH(vecs[0].size, bits=10, n_tables=6, seed=42)
+    buckets: list[set[int]] = []
+    for v in vecs:
+        bs = set()
+        for t in range(lsh.n_tables):
+            code = 0
+            for j in range(lsh.bits):
+                if float(lsh.planes[t, j] @ v) > 0:
+                    code |= 1 << j
+            bs.add(code + (t << 48))
+        buckets.append(bs)
+    rows = []
+    for qi in range(q_n):
+        cand = []
+        for ci in range(n_rows):
+            if ids[ci] == ids[qi]:
+                continue
+            if buckets[qi] & buckets[ci]:
+                cand.append((round(float(vecs[qi] @ vecs[ci]), 6), ids[ci]))
+        for nid, r in _rank_and_take(cand):
+            rows.append((ids[qi], nid, r))
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+                "rank": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        paths["lsh"],
+    )
+
+    # ---- IVF golden (nlists=16, nprobe=4, train_rows=2048, seed=42) ----
+    # RAW sample: train_ivf_centroids normalizes internally, exactly as
+    # the distributed path feeds it
+    sample = np.stack(raw[: min(2048, n_rows)])
+    cent = train_ivf_centroids(sample, 16, seed=42)
+    nprobe = min(4, cent.shape[0])
+    assign = [int(np.argmax(cent @ v)) for v in vecs]
+    rows = []
+    for qi in range(q_n):
+        sims_c = -(cent @ vecs[qi])
+        probes = set(int(x) for x in np.argsort(sims_c, kind="stable")[:nprobe])
+        cand = []
+        for ci in range(n_rows):
+            if ids[ci] == ids[qi] or assign[ci] not in probes:
+                continue
+            cand.append((round(float(vecs[qi] @ vecs[ci]), 6), ids[ci]))
+        for nid, r in _rank_and_take(cand):
+            rows.append((ids[qi], nid, r))
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+                "rank": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        paths["ivf"],
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def ensure_hll_golden(sf_dir: str) -> str:
+    """Serial HyperLogLog golden for ``approx_ndistinct_events``: the
+    sketch is deterministic given the hash function, so the estimate
+    at a pinned register width IS a checkable value.  Registers are
+    computed with plain integer ``bit_length`` bit-scans (an
+    independent check of the vectorized float64-log2 rank kernel in
+    ``extras/aggregates.py``); the estimate applies the same HLL
+    formula to the identical register array."""
+    import numpy as np
+
+    from fuzzy_matching_ray.extras.aggregates import _HLL_P
+    from fuzzy_matching_ray.hashing import hash64_str
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT, f"hll_golden_{sf}")
+    out_path = os.path.join(out_dir, "ndv.parquet")
+    marker = os.path.join(out_dir, "_done")
+    if os.path.exists(marker):
+        return out_path
+    os.makedirs(out_dir, exist_ok=True)
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    m64 = (1 << 64) - 1
+    by_key: dict[str, set[str]] = {}
+    for et, uid in zip(tbl["event_type"].to_pylist(), tbl["user_id"].to_pylist()):
+        by_key.setdefault(et, set()).add(str(uid))
+    keys, ests = [], []
+    for key in sorted(by_key):
+        regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+        for v in by_key[key]:
+            h = hash64_str(v)
+            idx = h >> (64 - _HLL_P)
+            rest = (h << _HLL_P) & m64
+            rank = (64 - _HLL_P + 1) if rest == 0 else (65 - rest.bit_length())
+            if rank > regs[idx]:
+                regs[idx] = rank
+        m = float(regs.size)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        keys.append(key)
+        ests.append(float(est))
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(keys, tbl.schema.field("event_type").type),
+                "ndv_est": pa.array(ests, pa.float64()),
+            }
+        ),
+        out_path,
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_path

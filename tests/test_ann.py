@@ -1,8 +1,8 @@
 """Similarity search (extras/ann.py): exactness of the brute-force
-path, recall gates for the two approximate scale paths (LSH, IVF).
-
-The approximate variants are rows-only in the driver's CORRECTNESS
-harness by design; THESE recall assertions are their quality gate.
+path, recall gates for the two approximate scale paths (LSH, IVF),
+and serial-golden agreement (fixtures.ensure_ann_golden) — the
+deterministic value contract the driver's oracle hash checks at
+sf0.01 is also pinned here at sf0.001.
 """
 
 from __future__ import annotations
@@ -79,6 +79,45 @@ def test_knn_ivf_recall(ray_session):
     # contract: at most k ranked rows per query, ranks 1..k contiguous
     for _, grp in got.groupby("query_id"):
         assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+
+
+def test_ann_serial_golden_agreement(ray_session):
+    """Distributed LSH/IVF output == the independent per-query serial
+    golden at sf0.001 (same contract the sf0.01 driver oracle hashes)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from fuzzy_matching_ray import fixtures
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        import pytest
+
+        pytest.skip("testdata not present")
+    shutil.rmtree(os.path.join(fixtures.CACHE_ROOT, "ann_golden_sf0.001"), ignore_errors=True)
+    paths = fixtures.ensure_ann_golden(sf_dir)
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    head = t.slice(0, 10)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, np.float64) for v in head["embedding"].to_pylist()])
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    for fn, path in ((knn_lsh, paths["lsh"]), (knn_ivf, paths["ivf"])):
+        got = (
+            fn(ds, qmat, qids, k=5)
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            pq.read_table(path)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
 
 
 def test_ivf_centroids_deterministic():
