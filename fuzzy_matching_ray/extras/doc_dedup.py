@@ -403,6 +403,7 @@ def embedding_cosine_pairs(
     block_col: str = "label",
     threshold: float = 0.95,
     num_partitions: int = 16,
+    max_block_rows: int = 1 << 16,
 ) -> ray.data.Dataset:
     """Embedding near-dup pairs: cosine ≥ threshold within a blocking
     key.
@@ -428,7 +429,21 @@ def embedding_cosine_pairs(
       memory capped by the chunk size rather than the pair count.
 
     Both kernels emit the identical exact pair set, so the choice is
-    invisible to the oracle and to determinism (output is re-sorted)."""
+    invisible to the oracle and to determinism (output is re-sorted).
+
+    **Hot-block budget** (the ``stages/minhash.py`` salted-chunk
+    pattern): one skewed blocking key with n ≫ everything else would
+    make even the BLAS fallback quadratic, so blocks larger than
+    ``max_block_rows`` are split into id-sorted chunks of that size
+    and compared chunk-locally.  The skipped cross-chunk comparisons
+    are counted EXACTLY (``n·(n−1)/2 − Σ mᵢ·(mᵢ−1)/2``) and carried
+    on one sentinel row per hot block — ``src = -1, dst = <count>``
+    (real ids are non-negative) — never silently.  Consumers that
+    want pairs only filter ``src >= 0``; ``embedding_dedup_clusters``
+    does.  The default (65 536 rows → ≤2.1e9 comparisons ≈ seconds of
+    BLAS per block) never triggers at oracle scales, so the all-pairs
+    SQL contract is unaffected; pass a smaller value to bound skew
+    harder, or ``None`` for the unbudgeted exact scan."""
     eps_margin = 1e-9
     cand_cap = 1 << 25  # ~34M window candidates ≈ 1.3 GB of index scratch
 
@@ -498,23 +513,48 @@ def embedding_cosine_pairs(
         return s, d
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
+        def _rng_for(tag: str) -> np.random.Generator:
+            # seeded per block (and per chunk): deterministic under any
+            # partitioning / arrival order (blake2b, NOT Python hash —
+            # that one is salted per process)
+            seed = int.from_bytes(
+                _hl.blake2b(tag.encode(), digest_size=8).digest(), "little"
+            )
+            return np.random.Generator(np.random.PCG64(seed))
+
         srcs, dsts = [], []
+        dropped_comparisons = 0  # exact cross-chunk skip count
         for key, g in df.groupby(block_col, sort=False):
             ids = g[id_col].to_numpy().astype(np.int64)
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-            # per-block seeded directions: deterministic under any
-            # partitioning / arrival order (blake2b, NOT Python hash —
-            # that one is salted per process)
-            import hashlib as _hl
-
-            seed = int.from_bytes(
-                _hl.blake2b(f"ecp:{key}".encode(), digest_size=8).digest(), "little"
-            )
-            rng = np.random.Generator(np.random.PCG64(seed))
-            res = _block_pairs(ids, mat, rng)
+            if max_block_rows is not None and ids.size > max_block_rows:
+                # hot block: id-sorted salted chunks, chunk-local exact
+                # pairs, exact accounting of the skipped cross space
+                order = np.argsort(ids, kind="stable")
+                ids, mat = ids[order], mat[order]
+                n = ids.size
+                covered = 0
+                for s in range(0, n, max_block_rows):
+                    cid = ids[s : s + max_block_rows]
+                    cmat = mat[s : s + max_block_rows]
+                    covered += cid.size * (cid.size - 1) // 2
+                    res = _block_pairs(cid, cmat, _rng_for(f"ecp:{key}:{s}"))
+                    if res is not None:
+                        srcs.append(res[0])
+                        dsts.append(res[1])
+                dropped_comparisons += n * (n - 1) // 2 - covered
+                continue
+            res = _block_pairs(ids, mat, _rng_for(f"ecp:{key}"))
             if res is not None:
                 srcs.append(res[0])
                 dsts.append(res[1])
+        if dropped_comparisons:
+            # the minhash __skew sentinel shape: visible accounting,
+            # filterable by src >= 0 (ids are non-negative)
+            srcs.append(np.array([-1], np.int64))
+            dsts.append(np.array([dropped_comparisons], np.int64))
         if not srcs:
             return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
         src = np.concatenate(srcs)
@@ -533,6 +573,7 @@ def embedding_dedup_clusters(
     block_col: str = "label",
     threshold: float = 0.95,
     num_partitions: int = 16,
+    max_block_rows: int = 1 << 16,
 ) -> ray.data.Dataset:
     """Embedding near-dup clusters (the SemDeDup-shaped operator):
     exact cosine pairs within each blocking key → connected components
@@ -547,6 +588,8 @@ def embedding_dedup_clusters(
     the numeric min-label matches the SQL oracle's ``min(id)``."""
     from fuzzy_matching_ray.stages.union_find import connected_components
 
+    import pyarrow.compute as pc
+
     pairs = embedding_cosine_pairs(
         ds,
         id_col=id_col,
@@ -554,6 +597,12 @@ def embedding_dedup_clusters(
         block_col=block_col,
         threshold=threshold,
         num_partitions=num_partitions,
+        max_block_rows=max_block_rows,
+    ).map_batches(
+        # drop hot-block skew sentinels (src = -1): accounting rows,
+        # not graph edges
+        lambda b: b.filter(pc.greater_equal(b["src"], 0)),
+        batch_format="pyarrow",
     )
     nodes = ds.map_batches(
         lambda b: pa.table({"conv_id": b[id_col].cast(pa.int64())}),

@@ -79,3 +79,62 @@ def test_matmul_fallback_matches_bruteforce(ray_session):
         }
     )
     assert _run(df, 0.3) == _brute(df, 0.3)
+
+
+def test_hot_block_budget_bounds_pairs_with_exact_drop_count(ray_session):
+    """One hot block larger than max_block_rows is split into id-sorted
+    chunks: emitted pairs are exactly the union of chunk-local brute
+    force sets, and ONE sentinel row (src=-1) carries the exact count
+    of skipped cross-chunk comparisons."""
+    rng = np.random.default_rng(5)
+    n, chunk = 300, 100
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "block": np.zeros(n, dtype=np.int64),
+            "embedding": list(rng.standard_normal((n, 16))),
+        }
+    )
+    out = embedding_cosine_pairs(
+        rd.from_pandas(df),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="block",
+        threshold=0.3,
+        num_partitions=2,
+        max_block_rows=chunk,
+    ).to_pandas()
+    sent = out[out["src"] < 0]
+    pairs = out[out["src"] >= 0]
+    # exact skip accounting: full space minus the three chunk spaces
+    expected_dropped = n * (n - 1) // 2 - 3 * (chunk * (chunk - 1) // 2)
+    assert sent["dst"].tolist() == [expected_dropped]
+    exp = set()
+    for s in range(0, n, chunk):
+        exp |= _brute(df.iloc[s : s + chunk], 0.3)
+    got = set(zip(pairs["src"].astype(int), pairs["dst"].astype(int)))
+    assert got == exp
+    # emission is bounded by the chunk-local space
+    assert len(got) <= 3 * (chunk * (chunk - 1) // 2)
+
+
+def test_dedup_clusters_filter_sentinels(ray_session):
+    """embedding_dedup_clusters drops the skew sentinel before
+    union-find: every output id is a real vec_id."""
+    from fuzzy_matching_ray.extras.doc_dedup import embedding_dedup_clusters
+
+    rng = np.random.default_rng(9)
+    n = 120
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": np.zeros(n, dtype=np.int64),
+            "embedding": list(rng.standard_normal((n, 8))),
+        }
+    )
+    out = embedding_dedup_clusters(
+        rd.from_pandas(df), threshold=0.9, num_partitions=2, max_block_rows=50
+    ).to_pandas()
+    assert len(out) == n
+    assert out["vec_id"].min() >= 0
+    assert out["cluster_id"].min() >= 0
