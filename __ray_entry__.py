@@ -593,8 +593,10 @@ def _q_token_heavy_hitters(sf_dir: str):
 
 def _q_tfidf_top_terms(sf_dir: str):
     """Per-doc top-3 TF-IDF terms.  Global document frequencies are a
-    map-side partial + one-remote-reduce broadcast; ranking key is one
-    IEEE double division so the SQL oracle orders identically."""
+    map-side partial + bucketed distributed reduce, broadcast only
+    when the vocabulary is proven small (auto mode falls back to the
+    no-broadcast bucketed-join path above the bound); ranking key is
+    one IEEE double division so the SQL oracle orders identically."""
     from fuzzy_matching_ray.extras.tfidf import tfidf_top_terms
 
     return tfidf_top_terms(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
@@ -1061,7 +1063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
         "curate_documents": _q_curate_documents,
-        # corpus-aware term weighting (global-DF broadcast, no token shuffle)
+        # corpus-aware term weighting (bucketed DF reduce; bounded
+        # broadcast or bucketed join per df_mode)
         "tfidf_top_terms": _q_tfidf_top_terms,
         "rare_token_stats": _q_rare_token_stats,
         "events_pivot": _q_events_pivot,

@@ -1,19 +1,34 @@
 """Corpus-aware term statistics: TF-IDF top terms and rarity signals.
 
 Both operators need the *global* document frequency of every token —
-a corpus-wide statistic — while emitting per-document rows.  The scale
-shape mirrors ``decontaminate`` (`filtering.py`) and
-``token_heavy_hitters`` (`aggregates.py`): pass 1 pre-aggregates
-per-batch document frequencies inside ``map_batches`` (the exchange
-carries one row per *distinct token per batch*, never occurrences) and
-reduces them in ONE remote task whose return value IS the broadcast
-(sorted terms, df) pair — the driver only ever holds the ref.  Pass 2
-streams the corpus and probes df with a vectorized ``searchsorted``;
-no shuffle touches token occurrences, so the only all-to-all is the
-distinct-term reduce (bounded by vocabulary size, not corpus size).
+a corpus-wide statistic — while emitting per-document rows.  Two
+execution modes, selected per call (``df_mode``):
 
-Determinism contract with the SQL oracles: tokenization is
-lowercase + whitespace split (identical to ``token_heavy_hitters``),
+* ``broadcast`` — pass 1 pre-aggregates per-batch document
+  frequencies inside ``map_batches`` (the exchange carries one row
+  per *distinct token per batch*, never occurrences), reduces them
+  with a DISTRIBUTED native ``groupby('term').sum`` (no single
+  vocabulary-sized task), and broadcasts the reduced ``(terms, df)``
+  arrays once via ``ray.put``.  Pass 2 streams the corpus and probes
+  df with a vectorized ``searchsorted``.  Fastest when the distinct
+  vocabulary fits one worker heap; HARD-BOUNDED by
+  ``broadcast_max_terms`` — exceeding it is never silent.
+
+* ``bucketed`` — the web-scale path: no broadcast, no driver-side
+  vocabulary at all.  The distinct ``(doc, term, tf)`` rows are
+  shuffled once on ``hash(term)`` — every row of one term lands in
+  one bucket, so the bucket computes exact global df locally and
+  attaches it — then once on ``hash(doc)`` to finalize per-document
+  output.  Peak per-task state is one bucket (vocabulary / P), not
+  the vocabulary.
+
+* ``auto`` (default) — run the distributed DF aggregation, count the
+  distinct terms (the aggregate is materialized, so the count is
+  free), and pick: broadcast under ``broadcast_max_terms``, bucketed
+  above (with a log line — no silent mode flips).
+
+Determinism contract with the SQL oracles (both modes): tokenization
+is lowercase + whitespace split (identical to ``token_heavy_hitters``),
 tf and df are exact integers, and the TF-IDF ranking key ``tf / df``
 is ONE IEEE-754 double division — exactly rounded, so DuckDB's
 ``tf * 1.0 / df`` orders identically and the driver hash matches.
@@ -33,6 +48,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
+
 # per-worker-process cache of the rehydrated DF table, keyed by the
 # broadcast ref hex (same pattern as simhash's token cache): stateless
 # tasks schedule wide immediately, and every batch after the first
@@ -48,10 +65,14 @@ def _tokens(texts: pd.Series) -> pd.Series:
     return ex[ex.notna() & (ex != "")]
 
 
-def _df_broadcast(ds: ray.data.Dataset, text_col: str) -> "ray.ObjectRef":
-    """ObjectRef of ``(terms_sorted: object[], df: int64[])`` for the
-    whole corpus.  Map-side partial (distinct tokens per doc, counted
-    per batch), ONE remote reduce."""
+def _df_aggregate(
+    ds: ray.data.Dataset, text_col: str, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Distributed ``(term, df)`` aggregation: map-side partial
+    (distinct tokens per doc, counted per batch) + ONE term-hash
+    bucketed shuffle with a vectorized per-bucket sum — the reduce is
+    sharded into ``num_partitions`` tasks of ~vocab/P state each,
+    never one vocabulary-sized task."""
 
     def _partial(batch: pd.DataFrame) -> pa.Table:
         ex = _tokens(batch[text_col])
@@ -66,20 +87,49 @@ def _df_broadcast(ds: ray.data.Dataset, text_col: str) -> "ray.ObjectRef":
             }
         )
 
-    @ray.remote
-    def _reduce(*tables: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        frames = [
-            t.to_pandas() for t in tables if t.num_rows and "term" in t.schema.names
-        ]
-        if not frames:
-            return np.empty(0, object), np.empty(0, np.int64)
-        g = pd.concat(frames, ignore_index=True).groupby("term", sort=True)["df"].sum()
-        return g.index.to_numpy(dtype=object), g.to_numpy(np.int64)
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("term", sort=False, as_index=False)["df"].sum()
+        out["df"] = out["df"].astype(np.int64)
+        return out
 
-    blocks = (
-        ds.map_batches(_partial, batch_format="pandas").materialize().to_arrow_refs()
-    )
-    return _reduce.remote(*blocks)
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return bucketed_group_apply(partial, "term", _sum, num_partitions)
+
+
+def _resolve_df_mode(
+    ds: ray.data.Dataset,
+    text_col: str,
+    df_mode: str,
+    broadcast_max_terms: int,
+    num_partitions: int = 32,
+) -> "ray.ObjectRef | None":
+    """``None`` → run bucketed; otherwise the broadcast ObjectRef of
+    ``(terms_sorted, df)``.  The vocabulary only ever reaches one
+    address space when it is PROVEN ≤ ``broadcast_max_terms``."""
+    if df_mode == "bucketed":
+        return None
+    if df_mode not in ("auto", "broadcast"):
+        raise ValueError(f"df_mode must be auto|broadcast|bucketed, got {df_mode!r}")
+    dfds = _df_aggregate(ds, text_col, num_partitions).materialize()
+    n_terms = dfds.count()
+    if n_terms == 0:  # token-less corpus: empty probe arrays
+        return ray.put((np.empty(0, object), np.empty(0, np.int64)))
+    if n_terms > broadcast_max_terms:
+        if df_mode == "broadcast":
+            raise ValueError(
+                f"distinct vocabulary ({n_terms}) exceeds broadcast_max_terms "
+                f"({broadcast_max_terms}); use df_mode='bucketed' (or 'auto')"
+            )
+        print(
+            f"[tfidf] vocabulary {n_terms} > broadcast_max_terms "
+            f"{broadcast_max_terms}: switching to the bucketed path"
+        )
+        return None
+    pdf = dfds.to_pandas()
+    terms = pdf["term"].to_numpy(dtype=object)
+    dfs = pdf["df"].to_numpy(np.int64)
+    order = np.argsort(terms, kind="stable")  # searchsorted needs sorted terms
+    return ray.put((terms[order], dfs[order]))
 
 
 def _get_df(ref: "ray.ObjectRef") -> tuple[np.ndarray, np.ndarray]:
@@ -106,52 +156,128 @@ def _doc_tf(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
     return tf
 
 
-def tfidf_top_terms(
-    ds: ray.data.Dataset,
-    *,
-    k: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _doc_tf_rows(
+    ds: ray.data.Dataset, id_col: str, text_col: str
 ) -> ray.data.Dataset:
-    """Top-``k`` terms per document by TF-IDF (raw idf ``N/df``):
-    ``(doc_id, term, tf, df, term_rank)``, integer-exact columns."""
-    df_ref = _df_broadcast(ds.select_columns([text_col]), text_col)
+    """Distinct ``(id, term, tf)`` rows — the bucketed paths' exchange
+    unit (one row per doc-term, never per occurrence)."""
 
-    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.reset_index(drop=True)  # 'r' must be positional
-        terms_sorted, dfs = _get_df(df_ref)
+    def _tf(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
         tf = _doc_tf(batch, text_col)
+        ids = batch[id_col].to_numpy()
         if tf.empty:
             return pd.DataFrame(
                 {
                     id_col: pd.Series([], dtype=batch[id_col].dtype),
                     "term": pd.Series([], dtype=object),
                     "tf": pd.Series([], dtype=np.int64),
-                    "df": pd.Series([], dtype=np.int64),
-                    "term_rank": pd.Series([], dtype=np.int64),
                 }
             )
-        pos = np.searchsorted(terms_sorted, tf["term"].to_numpy(dtype=object))
-        tf["df"] = dfs[pos]
-        # ranking key: ONE double division (exactly rounded → SQL-equal)
-        tf["_score"] = tf["tf"].to_numpy(np.float64) / tf["df"].to_numpy(np.float64)
-        tf = tf.sort_values(
-            ["r", "_score", "term"], ascending=[True, False, True], kind="mergesort"
-        )
-        top = tf.groupby("r", sort=False).head(k).copy()
-        top["term_rank"] = top.groupby("r", sort=False).cumcount() + 1
-        ids = batch[id_col].to_numpy()
         return pd.DataFrame(
             {
-                id_col: ids[top["r"].to_numpy()],
-                "term": top["term"].to_numpy(dtype=object),
-                "tf": top["tf"].to_numpy(np.int64),
-                "df": top["df"].to_numpy(np.int64),
-                "term_rank": top["term_rank"].to_numpy(np.int64),
+                id_col: ids[tf["r"].to_numpy()],
+                "term": tf["term"].to_numpy(dtype=object),
+                "tf": tf["tf"].to_numpy(np.int64),
             }
         )
 
-    return ds.map_batches(_probe, batch_format="pandas")
+    return ds.map_batches(_tf, batch_format="pandas")
+
+
+def _attach_df_bucketed(
+    tf_rows: ray.data.Dataset, id_col: str, num_partitions: int
+) -> ray.data.Dataset:
+    """Shuffle the tf rows on ``hash(term)``; every row of a term is in
+    exactly one bucket, so df(term) = the bucket-local row count (tf
+    rows are distinct per doc-term by construction)."""
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["df"] = (
+            df.groupby("term", sort=False)["term"].transform("size").to_numpy(np.int64)
+        )
+        return out
+
+    return bucketed_group_apply(tf_rows, "term", _attach, num_partitions)
+
+
+def _empty_topk(id_dtype, id_col: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            id_col: pd.Series([], dtype=id_dtype),
+            "term": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype=np.int64),
+            "df": pd.Series([], dtype=np.int64),
+            "term_rank": pd.Series([], dtype=np.int64),
+        }
+    )
+
+
+def _rank_topk(scored: pd.DataFrame, id_col: str, k: int) -> pd.DataFrame:
+    """Per-doc top-k over (id, term, tf, df) rows: ranking key is ONE
+    double division (exactly rounded → SQL-equal), ties on term ASC."""
+    scored = scored.copy()
+    scored["_score"] = scored["tf"].to_numpy(np.float64) / scored["df"].to_numpy(
+        np.float64
+    )
+    scored = scored.sort_values(
+        [id_col, "_score", "term"], ascending=[True, False, True], kind="mergesort"
+    )
+    top = scored.groupby(id_col, sort=False).head(k).copy()
+    top["term_rank"] = (top.groupby(id_col, sort=False).cumcount() + 1).astype(np.int64)
+    return top[[id_col, "term", "tf", "df", "term_rank"]].reset_index(drop=True)
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_mode: str = "auto",
+    broadcast_max_terms: int = 5_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Top-``k`` terms per document by TF-IDF (raw idf ``N/df``):
+    ``(doc_id, term, tf, df, term_rank)``, integer-exact columns.
+    See the module docstring for the broadcast/bucketed scale modes."""
+    slim = ds.select_columns([id_col, text_col])
+    df_ref = _resolve_df_mode(slim, text_col, df_mode, broadcast_max_terms, num_partitions)
+
+    if df_ref is None:
+        # bucketed: df attaches in the term shuffle, top-k finalizes in
+        # the doc shuffle — vocabulary never concentrates anywhere
+        with_df = _attach_df_bucketed(
+            _doc_tf_rows(slim, id_col, text_col), id_col, num_partitions
+        )
+
+        def _fin(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return _empty_topk(df[id_col].dtype, id_col)
+            return _rank_topk(df, id_col, k)
+
+        return bucketed_group_apply(with_df, id_col, _fin, num_partitions)
+
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)  # 'r' must be positional
+        terms_sorted, dfs = _get_df(df_ref)
+        tf = _doc_tf(batch, text_col)
+        if tf.empty:
+            return _empty_topk(batch[id_col].dtype, id_col)
+        pos = np.searchsorted(terms_sorted, tf["term"].to_numpy(dtype=object))
+        ids = batch[id_col].to_numpy()
+        scored = pd.DataFrame(
+            {
+                id_col: ids[tf["r"].to_numpy()],
+                "term": tf["term"].to_numpy(dtype=object),
+                "tf": tf["tf"].to_numpy(np.int64),
+                "df": dfs[pos],
+            }
+        )
+        return _rank_topk(scored, id_col, k)
+
+    return slim.map_batches(_probe, batch_format="pandas")
 
 
 def rare_token_stats(
@@ -160,14 +286,67 @@ def rare_token_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     rare_df: int = 1,
+    df_mode: str = "auto",
+    broadcast_max_terms: int = 5_000_000,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Corpus-aware rarity quality signal per document:
     ``(doc_id, n_tokens, n_rare, n_distinct_rare)`` where a token is
     *rare* when its global document frequency ≤ ``rare_df`` (hapax
     legomena at the default).  A high rare fraction flags OCR noise /
     mojibake / codegen junk that doc-local stats
-    (``quality_stats_documents``) cannot see; all-integer output."""
-    df_ref = _df_broadcast(ds.select_columns([text_col]), text_col)
+    (``quality_stats_documents``) cannot see; all-integer output.
+    Same broadcast/bucketed scale modes as :func:`tfidf_top_terms`."""
+    slim = ds.select_columns([id_col, text_col])
+    df_ref = _resolve_df_mode(slim, text_col, df_mode, broadcast_max_terms, num_partitions)
+
+    if df_ref is None:
+        # bucketed: mark rarity in the term shuffle, sum in the doc
+        # shuffle; zero rows for every doc guarantee token-less docs
+        # still appear (and sum as identity elsewhere)
+        def _mark(df: pd.DataFrame) -> pd.DataFrame:
+            dfc = df.groupby("term", sort=False)["term"].transform("size").to_numpy(
+                np.int64
+            )
+            rare = dfc <= rare_df
+            tf = df["tf"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    "n_tokens": tf,
+                    "n_rare": np.where(rare, tf, 0).astype(np.int64),
+                    "n_distinct_rare": rare.astype(np.int64),
+                }
+            )
+
+        marked = bucketed_group_apply(
+            _doc_tf_rows(slim, id_col, text_col), "term", _mark, num_partitions
+        )
+
+        def _zeros(batch: pd.DataFrame) -> pd.DataFrame:
+            z = np.zeros(len(batch), np.int64)
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "n_tokens": z,
+                    "n_rare": z,
+                    "n_distinct_rare": z,
+                }
+            )
+
+        zero_rows = slim.map_batches(_zeros, batch_format="pandas")
+
+        def _sum(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(id_col, sort=False, as_index=False)[
+                ["n_tokens", "n_rare", "n_distinct_rare"]
+            ].sum()
+            for c in ("n_tokens", "n_rare", "n_distinct_rare"):
+                g[c] = g[c].astype(np.int64)
+            return g
+
+        return bucketed_group_apply(
+            marked.union(zero_rows), id_col, _sum, num_partitions
+        )
 
     def _probe(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.reset_index(drop=True)  # 'r' must be positional
@@ -201,4 +380,4 @@ def rare_token_stats(
             out.loc[r, c] = agg[c].to_numpy(np.int64)
         return out
 
-    return ds.map_batches(_probe, batch_format="pandas")
+    return slim.map_batches(_probe, batch_format="pandas")

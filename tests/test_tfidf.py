@@ -74,3 +74,60 @@ def test_rare_token_stats_hapax():
     # doc 3: 'a b b' → b occurs twice but df(b)=2 → not rare
     assert out.loc[3, "n_tokens"] == 3
     assert out.loc[3, "n_rare"] == 0
+
+
+def test_bucketed_mode_matches_broadcast():
+    """The no-broadcast web-scale path emits exactly the broadcast
+    path's rows for both operators (same ranking, same integers)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 25)).tolist())
+        for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": range(200), "text": texts})
+    ds = rd.from_pandas(df).repartition(5)
+
+    a = (
+        tfidf_top_terms(ds, k=3, df_mode="broadcast")
+        .to_pandas()
+        .sort_values(["doc_id", "term_rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tfidf_top_terms(ds, k=3, df_mode="bucketed", num_partitions=7)
+        .to_pandas()
+        .sort_values(["doc_id", "term_rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    ra = (
+        rare_token_stats(ds, df_mode="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rb = (
+        rare_token_stats(ds, df_mode="bucketed", num_partitions=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ra, rb, check_dtype=False)
+    assert len(ra) == 200  # token-less docs still appear
+
+
+def test_broadcast_cap_is_loud():
+    """df_mode='broadcast' above the vocabulary bound raises; 'auto'
+    switches to bucketed and still answers correctly."""
+    import pytest
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "c d e"]})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="broadcast_max_terms"):
+        tfidf_top_terms(ds, df_mode="broadcast", broadcast_max_terms=2).to_pandas()
+    out = tfidf_top_terms(ds, df_mode="auto", broadcast_max_terms=2).to_pandas()
+    assert set(out["doc_id"]) == {0, 1}
