@@ -153,6 +153,10 @@ class PipelineConfig:
     # to disable.
     sig_est_gate: float = 0.30
     verify_batch_size: int = 4096
+    # verify executor: 'tasks' (stateless map tasks + per-worker
+    # verifier cache — lands on warm workers, no actor-spawn ramp) or
+    # 'actors' (fixed actor pool).  Same kernels either way.
+    verify_executor: str = "tasks"
     # pool ceilings; actual pool size is clamped to cluster CPUs − 2 at
     # stage construction (see verify_pairs / compute_signatures)
     verify_concurrency: int = 32

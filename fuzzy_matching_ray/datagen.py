@@ -255,16 +255,32 @@ def hash64_stable(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
-def write_transcripts(out_dir: str, cfg: TranscriptGenConfig, shards: int = 4) -> str:
+def write_transcripts(
+    out_dir: str, cfg: TranscriptGenConfig, shards: int | None = None
+) -> str:
     """Write transcripts + dup_truth Parquet under ``out_dir`` (sharded
     by conv-id hash so readers get parallelism); idempotent — returns
-    immediately if the marker file for this config already exists."""
-    marker = os.path.join(out_dir, f"_done_{cfg.n_convs}_{cfg.seed}")
+    immediately if the marker file for this config already exists.
+
+    Shard count defaults to ~1 file per 1500 conversations (min 4,
+    max 64): every conversation's turns live in exactly ONE file
+    (hash-sharded), which is both the resumable 100-TB layout and the
+    precondition of the shuffle-free assembly fast path
+    (``stages/assemble.py`` ``prepartitioned=True``)."""
+    if shards is None:
+        shards = max(4, min(64, cfg.n_convs // 1500))
+    marker = os.path.join(out_dir, f"_done_{cfg.n_convs}_{cfg.seed}_{shards}")
     turns_dir = os.path.join(out_dir, "turns")
     if os.path.exists(marker):
         return turns_dir
     os.makedirs(turns_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, "truth"), exist_ok=True)
+    # a previous layout with a different shard count leaves stale files
+    # a glob reader would double-count — clear them (markers differ)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(turns_dir, "*.parquet")):
+        os.remove(stale)
     transcripts, dup_truth = generate_transcripts(cfg)
     # shard on conv hash: resumable layout, one file per shard
     import pyarrow.compute as pc
@@ -286,16 +302,28 @@ def write_transcripts(out_dir: str, cfg: TranscriptGenConfig, shards: int = 4) -
 # ---------------------------------------------------------------------------
 # person-record fixture (reference-parity surface)
 
+# gender-paired name pools (reference parity: utils/data_generator.py
+# uses faker + gender_guesser to keep patronymics consistent with the
+# first name's gender; we pair curated pools by index instead — same
+# invariant, no external packages).  Russian female surnames are the
+# male form + "а" (-ов/-ев/-ин declension); female patronymics use
+# -овна/-евна.
 _RU_SURNAMES = ["Иванов", "Петров", "Сидоров", "Смирнов", "Кузнецов", "Попов",
                 "Васильев", "Михайлов", "Новиков", "Фёдоров", "Морозов", "Волков"]
 _RU_NAMES = ["Иван", "Пётр", "Алексей", "Михаил", "Николай", "Сергей",
              "Владимир", "Андрей", "Дмитрий", "Павел"]
 _RU_PATRONYMICS = ["Иванович", "Петрович", "Алексеевич", "Михайлович",
                    "Николаевич", "Сергеевич", "Владимирович", "Андреевич"]
+_RU_NAMES_F = ["Анна", "Мария", "Елена", "Ольга", "Наталья", "Ирина",
+               "Татьяна", "Светлана", "Екатерина", "Людмила"]
+_RU_PATRONYMICS_F = ["Ивановна", "Петровна", "Алексеевна", "Михайловна",
+                     "Николаевна", "Сергеевна", "Владимировна", "Андреевна"]
 _EN_SURNAMES = ["Smith", "Johnson", "Brown", "Taylor", "Anderson", "Thomas",
                 "Jackson", "White", "Harris", "Martin", "Thompson", "Wilson"]
 _EN_NAMES = ["James", "John", "Robert", "Michael", "William", "David",
              "Richard", "Joseph", "Charles", "Daniel"]
+_EN_NAMES_F = ["Mary", "Patricia", "Jennifer", "Linda", "Elizabeth", "Barbara",
+               "Susan", "Jessica", "Sarah", "Karen"]
 _DOMAINS = ["example.com", "mail.ru", "gmail.com", "yandex.ru", "test.org"]
 
 
@@ -329,14 +357,23 @@ def generate_person_records(cfg: PersonGenConfig) -> tuple[list[dict], list[dict
         lang = cfg.language
         if lang == "mixed":
             lang = "ru" if rng.random() < 0.5 else "en"
+        # gender first, then gender-consistent pools (reference
+        # invariant: a female first name never gets a male patronymic)
+        female = rng.random() < 0.5
         if lang == "ru":
             last = _RU_SURNAMES[int(rng.integers(0, len(_RU_SURNAMES)))]
-            first = _RU_NAMES[int(rng.integers(0, len(_RU_NAMES)))]
-            middle = _RU_PATRONYMICS[int(rng.integers(0, len(_RU_PATRONYMICS)))]
+            if female:
+                last += "а"
+                first = _RU_NAMES_F[int(rng.integers(0, len(_RU_NAMES_F)))]
+                middle = _RU_PATRONYMICS_F[int(rng.integers(0, len(_RU_PATRONYMICS_F)))]
+            else:
+                first = _RU_NAMES[int(rng.integers(0, len(_RU_NAMES)))]
+                middle = _RU_PATRONYMICS[int(rng.integers(0, len(_RU_PATRONYMICS)))]
         else:
             last = _EN_SURNAMES[int(rng.integers(0, len(_EN_SURNAMES)))]
-            first = _EN_NAMES[int(rng.integers(0, len(_EN_NAMES)))]
-            middle = _EN_NAMES[int(rng.integers(0, len(_EN_NAMES)))]
+            pool = _EN_NAMES_F if female else _EN_NAMES
+            first = pool[int(rng.integers(0, len(pool)))]
+            middle = pool[int(rng.integers(0, len(pool)))]
         email = f"{first.lower()}.{last.lower()}{i}@{_DOMAINS[int(rng.integers(0, len(_DOMAINS)))]}"
         rec = {
             "id": f"record_{i + 1}",

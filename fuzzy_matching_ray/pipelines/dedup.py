@@ -55,14 +55,18 @@ class DedupResult:
 
 
 def dedup_transcripts(
-    turns: ray.data.Dataset,
+    turns: "ray.data.Dataset | list[str]",
     cfg: PipelineConfig | None = None,
     *,
     channels: tuple[str, ...] = ("minhash",),
     keep_docs: bool = True,
     attach: str = "auto",
 ) -> DedupResult:
-    """Run the full pipeline on a transcripts Dataset.
+    """Run the full pipeline on a transcripts Dataset — or, for
+    conversation-partitioned parquet shards, a LIST OF FILE PATHS,
+    which takes the shuffle-free read+assemble fast path
+    (``stages/assemble.py`` ``assemble_documents_from_files``; the
+    documented partitioning assumption lives there).
 
     ``attach`` selects the verify payload path: ``'broadcast'`` (doc
     store shipped once via ``ray.put``; signatures carry shingle sets)
@@ -87,9 +91,16 @@ def dedup_transcripts(
     ckpt = CheckpointManager(cfg.workdir, cfg.config_hash()) if cfg.workdir else None
 
     def _docs() -> ray.data.Dataset:
-        docs = assemble_documents(
-            turns, separator=cfg.turn_separator, num_partitions=cfg.num_partitions
-        )
+        if isinstance(turns, (list, tuple)):
+            from fuzzy_matching_ray.stages.assemble import assemble_documents_from_files
+
+            docs = assemble_documents_from_files(
+                list(turns), separator=cfg.turn_separator
+            )
+        else:
+            docs = assemble_documents(
+                turns, separator=cfg.turn_separator, num_partitions=cfg.num_partitions
+            )
         docs = canonicalize_documents(docs, cfg)
         docs = docs.map_batches(add_text_hash, batch_format="pyarrow")
         return docs

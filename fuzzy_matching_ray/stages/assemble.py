@@ -105,6 +105,48 @@ def _assemble_bucket(tbl: pa.Table, separator: str) -> pa.Table:
     )
 
 
+def assemble_documents_from_files(
+    files: list[str],
+    *,
+    separator: str = "\n",
+) -> ray.data.Dataset:
+    """Shuffle-free assembly for conversation-partitioned parquet files
+    (every conversation's turns in exactly ONE file — the hash-sharded
+    layout ``datagen.write_transcripts`` produces, and the natural way
+    a 100-TB turn corpus is written).
+
+    Each task reads one file and assembles it IN THE SAME UDF — the
+    file→document boundary can never be split by Ray's dynamic block
+    sizing, so no conversation can straddle tasks (the failure mode
+    that killed the block-boundary-trusting variant).  No all-to-all:
+    parquet decode, sort, group-aggregate and join all run file-local,
+    and downstream canonicalize/hash stages fuse into the same tasks.
+
+    PARTITIONING ASSUMPTION (caller-asserted, like the suffix-array
+    channel's bucket locality): a conversation split ACROSS FILES is
+    emitted as one document per file.  Equivalence with the generic
+    shuffle path on a sharded fixture is pinned in
+    ``tests/test_assemble.py``."""
+    import ray.data as rd
+
+    def _read_assemble(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for path in batch["path"].to_pylist():
+            out.append(_assemble_bucket(pq.read_table(path), separator))
+        return pa.concat_tables(out) if out else _assemble_bucket(
+            pa.table({}), separator
+        )
+
+    paths = rd.from_items(
+        [{"path": f} for f in files], override_num_blocks=max(1, len(files))
+    )
+    return paths.map_batches(
+        _read_assemble, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def assemble_documents(
     turns: ray.data.Dataset,
     *,
@@ -112,7 +154,15 @@ def assemble_documents(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """``(conv_id, turn_idx, role, text, tool, ts)`` rows →
-    one document row per conversation."""
+    one document row per conversation.
+
+    For conversation-partitioned FILES use
+    :func:`assemble_documents_from_files` — the shuffle-free fast
+    path.  (A Dataset-based "trust the block boundaries" variant was
+    tried and removed: ``override_num_blocks`` is a hint, and a split
+    file silently assembles a straddling conversation as two
+    half-documents — caught by the conv-count invariant at
+    scale72000.)"""
     bucketed = turns.map_batches(
         add_partition_column,
         fn_kwargs={"num_partitions": num_partitions},

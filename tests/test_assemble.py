@@ -60,3 +60,41 @@ def test_canonicalize_column_matches_scalar_path():
     got = col.to_pylist()
     want = [canonicalize_text(s) if s is not None else None for s in cases]
     assert got == want
+
+
+def test_file_assembly_equals_generic(ray_session):
+    """The shuffle-free fast path (read+assemble fused per conv-sharded
+    file) must emit exactly the generic sort-shuffle path's documents —
+    including a conv-count invariant that catches the straddling
+    failure mode (a conversation assembled as two half-docs)."""
+    import ray.data as rd
+
+    from fuzzy_matching_ray.datagen import TranscriptGenConfig, write_transcripts
+    from fuzzy_matching_ray.stages.assemble import (
+        assemble_documents,
+        assemble_documents_from_files,
+    )
+
+    turns_dir = write_transcripts(
+        "/tmp/fmr_prepart_test", TranscriptGenConfig(n_convs=150, seed=7), shards=6
+    )
+    import glob
+
+    files = sorted(glob.glob(turns_dir + "/*.parquet"))
+    assert len(files) == 6
+
+    fast = (
+        assemble_documents_from_files(files)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    generic = (
+        assemble_documents(rd.read_parquet(files), num_partitions=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert len(fast) == len(generic) == fast["conv_id"].nunique()
+    for col in ("conv_id", "n_turns", "doc_text"):
+        assert fast[col].tolist() == generic[col].tolist()
