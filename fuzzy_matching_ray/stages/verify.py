@@ -501,8 +501,25 @@ def _sorted_intersect_size(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.count_nonzero(b[idx] == a))
 
 
+# per-worker-process verifier cache for the task-based executor: keyed
+# by (config hash, store ref, gate flag) so a stale corpus can never be
+# scored; one live verifier per worker is the norm
+_WORKER_VERIFIERS: dict = {}
+
+
+def _worker_verifier(cfg_hash: str, cfg, store_ref, emit_gate: bool) -> "VerifierPool":
+    key = (cfg_hash, store_ref.hex() if store_ref is not None else None, emit_gate)
+    v = _WORKER_VERIFIERS.get(key)
+    if v is None:
+        _WORKER_VERIFIERS.clear()
+        v = _WORKER_VERIFIERS[key] = VerifierPool(cfg, store_ref, emit_gate)
+    return v
+
+
 class VerifierPool:
-    """Actor: exact Jaccard / edit-similarity over candidate pairs.
+    """Exact Jaccard / edit-similarity scorer over candidate pairs —
+    runs as an actor pool (``cfg.verify_executor='actors'``) or via
+    stateless tasks with a per-worker cache (``'tasks'``, default).
 
     A vectorized MinHash-signature estimate (mean per-permutation
     agreement — the unbiased Jaccard estimator the LSH bands are built
@@ -886,14 +903,33 @@ def verify_pairs(
     if n_blocks is not None and n_blocks < pool * 2:
         pairs = pairs.repartition(pool * 4)
     emit_gate = metrics is not None and cfg.sig_est_gate > 0
-    scored = pairs.map_batches(
-        VerifierPool,
-        fn_constructor_args=(cfg, store_ref, emit_gate),
-        batch_format="pyarrow",
-        batch_size=cfg.verify_batch_size,
-        concurrency=pool,
-        num_cpus=1,
-    )
+    if cfg.verify_executor == "tasks":
+        # stateless tasks + per-worker verifier cache (the signature
+        # stage's pattern): tasks land on ALREADY-WARM Ray workers, so
+        # the stage skips the actor pool's process-spawn ramp — a
+        # CPU-count-independent cost the scaling measurement pays at
+        # both parallelism levels.  State (store ray.get is zero-copy,
+        # sigs8 view, kernels) builds once per worker process.
+        cfg_h = cfg.config_hash()
+
+        def _score(batch: pa.Table) -> pa.Table:
+            return _worker_verifier(cfg_h, cfg, store_ref, emit_gate)(batch)
+
+        scored = pairs.map_batches(
+            _score,
+            batch_format="pyarrow",
+            batch_size=cfg.verify_batch_size,
+            num_cpus=1,
+        )
+    else:
+        scored = pairs.map_batches(
+            VerifierPool,
+            fn_constructor_args=(cfg, store_ref, emit_gate),
+            batch_format="pyarrow",
+            batch_size=cfg.verify_batch_size,
+            concurrency=pool,
+            num_cpus=1,
+        )
 
     thr = cfg.jaccard_threshold
     edit_thr = cfg.edit_accept_threshold
