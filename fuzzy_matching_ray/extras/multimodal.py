@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio libraries, so the *decode* kernels
-are stubbed (per the build brief): real formats raise
-``NotImplementedError``; a deterministic fake codec ("FMRB", a tiny
-self-describing header) makes the Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — real and testable.
+Two codecs are real here: **PNG** (8-bit gray/RGB — decoded and
+re-encoded with the stdlib-only codec in ``extras/png.py``, so
+decode→resize→feature runs on an actual interchange format) and the
+deterministic "FMRB" fake (a tiny self-describing header) that keeps
+the SQL oracles integer-exact.  Formats needing external codec
+libraries (JPEG/WAV/MP4 — not in this container) raise
+``NotImplementedError`` loudly; plug PIL/libav into the same actor
+``__init__`` on a full cluster image.
 
 Stages are actor pools (``map_batches`` with a callable class): codec
 tables/"models" load once per actor in ``__init__``; batches stay in
@@ -63,12 +66,21 @@ class MediaDecodeStage:
     """
 
     def __init__(self, allow_fake: bool = True):
+        # per-actor codec init (the "model load" slot): bind the PNG
+        # kernels once instead of importing per batch
+        from fuzzy_matching_ray.extras.png import decode_png
+
         self.allow_fake = allow_fake
+        self._decode_png = decode_png
 
     def _decode(self, blob: bytes, media_type: str) -> tuple[int, int, int]:
         if media_type == "image/x-fmrb" and self.allow_fake and blob[:4] == _MAGIC:
             w, h = struct.unpack("<HH", blob[4:8])
             return w, h, len(blob) - 8
+        if media_type == "image/png" or blob[:8] == b"\x89PNG\r\n\x1a\n":
+            arr = self._decode_png(blob)
+            h, w = arr.shape[:2]
+            return w, h, int(arr.nbytes)
         raise NotImplementedError(
             f"no decoder for {media_type!r} in this environment — "
             "plug a real codec here (PIL/libav) on a full cluster image"
@@ -118,27 +130,36 @@ def decode_media(
 
 
 class MediaResizeStage:
-    """Actor-pool binary-in/binary-out resize.  For the fake codec,
-    "resizing" to ``(w, h)`` rewrites the header and keeps every
-    ``k``-th payload byte (k = max(1, old_area // new_area)) — a
-    deterministic stand-in for a real scaler, with the same Ray shape:
+    """Actor-pool binary-in/binary-out resize.  PNG blobs decode,
+    nearest-neighbor resample and re-encode through the stdlib codec
+    (``extras/png.py``).  For the fake codec, "resizing" to ``(w, h)``
+    rewrites the header and keeps every ``k``-th payload byte
+    (k = max(1, old_area // new_area)).  Same Ray shape either way:
     per-actor codec state, small batches, binary columns in and out.
-    Real formats raise ``NotImplementedError`` (no codec libs in this
-    container)."""
+    Formats needing external libraries raise ``NotImplementedError``."""
 
     def __init__(self, width: int, height: int, allow_fake: bool = True):
+        from fuzzy_matching_ray.extras.png import decode_png, encode_png, resize_nearest
+
         self.width = width
         self.height = height
         self.allow_fake = allow_fake
+        self._png = (decode_png, encode_png, resize_nearest)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        decode_png, encode_png, resize_nearest = self._png
         out = []
         for blob, mt in zip(
             batch["media"].to_pylist(), batch["media_type"].to_pylist()
         ):
+            if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                out.append(
+                    encode_png(resize_nearest(decode_png(blob), self.width, self.height))
+                )
+                continue
             if not (self.allow_fake and blob[:4] == _MAGIC):
                 raise NotImplementedError(
-                    f"no codec for {mt!r} in this container (brief: decode stubbed)"
+                    f"no codec for {mt!r} in this container (JPEG/WAV need PIL/libav)"
                 )
             w, h = struct.unpack("<HH", blob[4:8])
             payload = blob[8:]
@@ -183,20 +204,27 @@ class MediaFeatureStage:
     SQL-oracle-checkable (hex-pair arithmetic over ``encode(text)``)."""
 
     def __init__(self) -> None:
+        from fuzzy_matching_ray.extras.png import decode_png
+
         self._np = __import__("numpy")
+        self._decode_png = decode_png
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         np = self._np
         blobs = batch["media"].to_pylist()
         n_b, b_sum, mx, hi = [], [], [], []
         for blob in blobs:
-            if len(blob) < 8 or blob[:4] != _MAGIC:
+            if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                # real format: statistics over DECODED pixels
+                payload = self._decode_png(blob).reshape(-1)
+            elif len(blob) < 8 or blob[:4] != _MAGIC:
                 # same contract as MediaDecodeStage: loud, not garbage
                 raise NotImplementedError(
-                    "no real codec in this container; only the FMRB "
-                    "fake format is feature-extractable"
+                    "no JPEG/WAV codec in this container; PNG and the "
+                    "FMRB fake format are feature-extractable"
                 )
-            payload = np.frombuffer(blob, dtype=np.uint8)[8:]  # strip header
+            else:
+                payload = np.frombuffer(blob, dtype=np.uint8)[8:]  # strip header
             n_b.append(int(payload.size))
             b_sum.append(int(payload.sum(dtype=np.int64)))
             mx.append(int(payload.max()) if payload.size else 0)
