@@ -86,7 +86,7 @@ def ensure_person_fixtures(sf: str) -> dict[str, str]:
         "variants": os.path.join(out_dir, "variants.parquet"),
         "match_golden": os.path.join(out_dir, "match_golden.parquet"),
     }
-    marker = os.path.join(out_dir, f"_done_{n}")
+    marker = os.path.join(out_dir, f"_done_{n}_g2")  # g2: gender-paired generator
     if os.path.exists(marker):
         return paths
     os.makedirs(out_dir, exist_ok=True)
@@ -292,7 +292,7 @@ def ensure_translit_fixtures() -> dict[str, str]:
         "originals": os.path.join(out_dir, "originals_ru.parquet"),
         "translit_golden": os.path.join(out_dir, "translit_golden.parquet"),
     }
-    marker = os.path.join(out_dir, f"_done_{TRANSLIT_N}")
+    marker = os.path.join(out_dir, f"_done_{TRANSLIT_N}_g2")  # g2: gender-paired generator
     if os.path.exists(marker):
         return paths
     os.makedirs(out_dir, exist_ok=True)

@@ -103,3 +103,37 @@ def test_person_generator_reference_fidelity_knobs():
     replaced = [(a, b) for a, b in zip(o, v) if a["last_name"] != b["last_name"]
                 and len(b["last_name"]) == len(b["last_name"].strip())]
     assert any(b["email"].split("@")[0] != a["email"].split("@")[0] for a, b in replaced)
+
+
+def test_person_gender_consistency():
+    """Reference invariant (utils/data_generator.py + gender_guesser):
+    a record's patronymic gender matches its first-name gender, and
+    Russian female surnames carry the feminine declension."""
+    from fuzzy_matching_ray.datagen import (
+        _EN_NAMES,
+        _EN_NAMES_F,
+        _RU_NAMES,
+        _RU_NAMES_F,
+        PersonGenConfig,
+        generate_person_records,
+    )
+
+    orig, _ = generate_person_records(
+        PersonGenConfig(n_records=400, language="mixed", seed=11)
+    )
+    saw_f = saw_m = False
+    for r in orig:
+        first, middle, last = r["first_name"], r["middle_name"], r["last_name"]
+        if first in _RU_NAMES_F:
+            saw_f = True
+            assert middle.endswith(("овна", "евна")), (first, middle)
+            assert last.endswith("а"), (first, last)
+        elif first in _RU_NAMES:
+            saw_m = True
+            assert middle.endswith(("ович", "евич")), (first, middle)
+            assert not last.endswith("а"), (first, last)
+        elif first in _EN_NAMES_F:
+            assert middle in _EN_NAMES_F, (first, middle)
+        else:
+            assert first in _EN_NAMES and middle in _EN_NAMES, (first, middle)
+    assert saw_f and saw_m  # both genders actually generated
