@@ -37,17 +37,28 @@ def token_heavy_hitters(
     """Exact ``(token, n)`` for whitespace-lowered tokens with global
     count ≥ ``min_count``."""
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[text_col].fillna("").astype(str).str.lower().str.split().explode()
-        vc = toks[toks.notna() & (toks != "")].value_counts()
-        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)})
+    def _partial(batch: pa.Table) -> pa.Table:
+        # zero-copy Arrow combiner: lower→split→flatten→value_counts
+        # are all C++ kernels; no pandas object conversion per batch
+        import pyarrow.compute as pc
+
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(batch[text_col], "")))
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {"token": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("token", sort=False)["n"].sum()
         g = g[g >= min_count]
         return pd.DataFrame({"token": g.index.to_numpy(dtype=object), "n": g.to_numpy(np.int64)})
 
-    partial = ds.map_batches(_partial, batch_format="pandas")
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
     return bucketed_group_apply(partial, "token", _final, num_partitions)
 
 
@@ -154,18 +165,28 @@ def pivot_counts(
     table contracts here — a NULL-keyed mirror would need
     ``dropna=False`` plus a NULL-vs-'nan' hash convention)."""
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = pd.DataFrame(
-            {key_col: batch[key_col], pivot_col: batch[pivot_col].fillna("")}
+    def _partial(batch: pa.Table) -> pa.Table:
+        # Arrow hash-aggregate combiner (C++): NULL pivot folds to ''
+        # (counted); NULL-keyed rows are dropped, matching the pandas
+        # groupby semantics documented above
+        import pyarrow.compute as pc
+
+        slim = pa.table(
+            {
+                key_col: batch[key_col],
+                pivot_col: pc.fill_null(batch[pivot_col], ""),
+            }
+        ).filter(pc.is_valid(batch[key_col]))
+        g = slim.group_by([key_col, pivot_col], use_threads=False).aggregate(
+            [([], "count_all")]
         )
-        g = (
-            b.groupby([key_col, pivot_col], sort=False, observed=True)
-            .size()
-            .rename("n")
-            .reset_index()
+        return pa.table(
+            {
+                key_col: g[key_col],
+                pivot_col: g[pivot_col],
+                "n": g["count_all"].cast(pa.int64()),
+            }
         )
-        g["n"] = g["n"].astype(np.int64)
-        return g
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
         sums = (
@@ -180,7 +201,7 @@ def pivot_counts(
         out["n_total"] = sums.sum(axis=1).to_numpy(np.int64)
         return out
 
-    partial = ds.map_batches(_partial, batch_format="pandas")
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
     return bucketed_group_apply(partial, key_col, _final, num_partitions)
 
 
@@ -200,10 +221,13 @@ def group_size_histogram(
     per-bucket size histograms into a final tiny groupby whose
     cardinality is the number of DISTINCT sizes, not keys."""
 
-    def _key_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def _key_partial(batch: pa.Table) -> pa.Table:
+        # Arrow value_counts: C++ hash count, no object conversion
         vc = batch[key_col].value_counts()
-        return pd.DataFrame(
-            {key_col: vc.index.to_numpy(), "n": vc.to_numpy(np.int64)}
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {key_col: vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
         )
 
     def _sizes(df: pd.DataFrame) -> pd.DataFrame:
@@ -219,7 +243,7 @@ def group_size_histogram(
             {size_name: g.index.to_numpy(np.int64), count_name: g.to_numpy(np.int64)}
         )
 
-    partial = ds.map_batches(_key_partial, batch_format="pandas")
+    partial = ds.map_batches(_key_partial, batch_format="pyarrow")
     per_key = bucketed_group_apply(partial, key_col, _sizes, num_partitions)
     return bucketed_group_apply(per_key, size_name, _merge, 8)
 
@@ -248,18 +272,23 @@ def quantile_bucket_assign(
     unbounded continuous domain would need a mergeable quantile
     sketch instead (t-digest / KLL), trading exactness."""
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[val_col]
-        if not pd.api.types.is_integer_dtype(s):
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch[val_col]
+        if not pa.types.is_integer(col.type):
             # silent float→int truncation would collapse score-like
             # domains onto bucket 0; fail loudly instead
             raise TypeError(
                 f"quantile_bucket_assign needs an integer {val_col!r} "
-                f"(got {s.dtype}); discretize floats explicitly first"
+                f"(got {col.type}); discretize floats explicitly first"
             )
-        vc = s.value_counts()
-        return pd.DataFrame(
-            {"v": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+        vc = col.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {
+                "v": vc.field("values").cast(pa.int64()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
         )
 
     @ray.remote
@@ -277,7 +306,7 @@ def quantile_bucket_assign(
 
     blocks = (
         ds.select_columns([val_col])
-        .map_batches(_partial, batch_format="pandas")
+        .map_batches(_partial, batch_format="pyarrow")
         .materialize()
         .to_arrow_refs()
     )

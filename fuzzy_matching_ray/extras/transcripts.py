@@ -319,19 +319,24 @@ def boilerplate_turns(
     partial-aggregate-before-groupby rule as the token heavy-hitters
     operator)."""
 
-    def _local(df: pd.DataFrame):
+    def _local(batch: "pa.Table") -> "pa.Table":
         import pyarrow as pa
 
-        # dropna=False: NULL-text turns form a group like SQL GROUP BY
-        g = (
-            df.groupby(["text", "conv_id"], sort=False, dropna=False)
-            .size()
-            .reset_index(name="_cnt")
+        # Arrow hash-aggregate combiner (C++); Arrow group_by keeps
+        # NULL-text groups, same as the pandas dropna=False it replaces
+        g = batch.group_by(["text", "conv_id"], use_threads=False).aggregate(
+            [([], "count_all")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa.table(
+            {
+                "text": g["text"],
+                "conv_id": g["conv_id"],
+                "_cnt": g["count_all"].cast(pa.int64()),
+            }
+        )
 
     local = turns.select_columns(["conv_id", "text"]).map_batches(
-        _local, batch_format="pandas"
+        _local, batch_format="pyarrow"
     )
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
