@@ -165,6 +165,9 @@ def _dedup_only(sf_dir: str, num_cpus: int) -> dict:
         "stage_seconds": res.metrics.get("stage_seconds", {}),
         "verify_detail": res.metrics.get("verify_detail", {}),
         "executions": res.metrics.get("executions"),
+        "candidate_pairs": res.metrics.get("candidate_pairs"),
+        "gate_skipped_pairs": res.metrics.get("gate_skipped_pairs"),
+        "edges": res.metrics.get("edges"),
     }
 
 
