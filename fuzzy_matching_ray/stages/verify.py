@@ -730,6 +730,22 @@ class VerifierPool:
                 sz_b[res_mask] = sh_off[rb_t[res_mask] + 1] - sh_off[rb_t[res_mask]]
                 res_mask &= (sz_a > 0) & (sz_b > 0)
             if res_mask.any():
+                # exact size-ratio prefilter (the serial golden's rule,
+                # fixtures._serial_pair_scorer): J ≥ bound requires
+                # min(|A|,|B|)/max ≥ bound, and below edit_gate_low the
+                # edit kernel never runs — so such pairs can never
+                # become edges.  Reads 8 bytes/pair from the offsets
+                # array instead of two full shingle sets: on the
+                # bandwidth-bound exchange this is the cheapest cut.
+                lo_bound = cfg.edit_gate_low if use_edit else cfg.jaccard_threshold
+                ratio_ok = np.minimum(sz_a, sz_b) >= lo_bound * np.maximum(sz_a, sz_b)
+                # ratio-culled pairs are fully resolved (jac stays 0):
+                # drop them from BOTH the vectorized and per-pair paths
+                res_done = res_mask & ~ratio_ok
+                res_mask &= ratio_ok
+            else:
+                res_done = np.zeros(todo.size, dtype=bool)
+            if res_mask.any():
                 vec = todo[res_mask]
                 ra_v, rb_v = rs_sig[vec], rd_sig[vec]
                 b_sizes = sh_off[rb_v + 1] - sh_off[rb_v]
@@ -767,7 +783,9 @@ class VerifierPool:
                         lb = min(len(dt), _EDIT_PREFIX_CAP)
                         if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
                             edit[i] = indel_ratio(st[:_EDIT_PREFIX_CAP], dt[:_EDIT_PREFIX_CAP])
-                todo = todo[~res_mask]
+                todo = todo[~res_mask & ~res_done]
+            else:
+                todo = todo[~res_done]
 
         for i in todo:
             st = dt = None
