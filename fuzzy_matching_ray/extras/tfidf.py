@@ -186,7 +186,7 @@ def _doc_tf_rows(
 
 
 def _attach_df_bucketed(
-    tf_rows: ray.data.Dataset, id_col: str, num_partitions: int
+    tf_rows: ray.data.Dataset, num_partitions: int
 ) -> ray.data.Dataset:
     """Shuffle the tf rows on ``hash(term)``; every row of a term is in
     exactly one bucket, so df(term) = the bucket-local row count (tf
@@ -249,7 +249,7 @@ def tfidf_top_terms(
         # bucketed: df attaches in the term shuffle, top-k finalizes in
         # the doc shuffle — vocabulary never concentrates anywhere
         with_df = _attach_df_bucketed(
-            _doc_tf_rows(slim, id_col, text_col), id_col, num_partitions
+            _doc_tf_rows(slim, id_col, text_col), num_partitions
         )
 
         def _fin(df: pd.DataFrame) -> pd.DataFrame:

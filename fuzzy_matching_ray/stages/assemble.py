@@ -132,12 +132,11 @@ def assemble_documents_from_files(
     def _read_assemble(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        out = []
-        for path in batch["path"].to_pylist():
-            out.append(_assemble_bucket(pq.read_table(path), separator))
-        return pa.concat_tables(out) if out else _assemble_bucket(
-            pa.table({}), separator
-        )
+        out = [
+            _assemble_bucket(pq.read_table(path), separator)
+            for path in batch["path"].to_pylist()
+        ]
+        return pa.concat_tables(out) if out else DOC_SCHEMA.empty_table()
 
     paths = rd.from_items(
         [{"path": f} for f in files], override_num_blocks=max(1, len(files))
