@@ -55,6 +55,7 @@ def _ensure_oracle_fixtures() -> None:
     fixtures.ensure_fingerprint_golden("/root/testdata/sf0.01")
     fixtures.ensure_ann_golden("/root/testdata/sf0.01")
     fixtures.ensure_hll_golden("/root/testdata/sf0.01")
+    fixtures.ensure_ddq_golden("/root/testdata/sf0.01")
 
 
 try:  # never let fixture generation break module import...
@@ -728,6 +729,25 @@ def _q_approx_ndistinct(sf_dir: str):
     )
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """DDSketch approximate per-type value quantiles — the
+    unbounded-domain scale path next to the exact `events_quantiles`.
+    Deterministic and order-independent, so the sf0.01 oracle is a
+    serial per-row golden (fixtures.ensure_ddq_golden); the relative
+    error bound is gated in pytest."""
+    from fuzzy_matching_ray.extras.aggregates import approx_quantiles_sketch
+
+    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_ddq_golden(sf_dir)
+    return approx_quantiles_sketch(
+        _read(sf_dir, "events").select_columns(["event_type", "value"]),
+        key_col="event_type",
+        val_col="value",
+    )
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental mode: even doc_ids are the already-deduped base,
     odd doc_ids are the new batch; base×base pairs are culled before
@@ -1057,6 +1077,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL sketch — deterministic given the hash; serial bit-scan
         # golden oracle at sf0.01 plus a pytest relative-error gate
         "approx_ndistinct_events": _q_approx_ndistinct,
+        # DDSketch quantiles — deterministic log-bucket sketch; serial
+        # golden oracle plus a pytest relative-error gate
+        "approx_quantiles_events": _q_approx_quantiles,
         "incremental_dedup_pairs": _q_incremental_dedup,
         "redact_pii_documents": _q_redact_pii,
         "decontaminate_documents": _q_decontaminate,
@@ -1112,6 +1135,7 @@ FIXTURE_ORACLE_QUERIES = frozenset(
         "knn_lsh",
         "knn_ivf",
         "approx_ndistinct_events",
+        "approx_quantiles_events",
     }
 )
 
@@ -1384,6 +1408,11 @@ def oracle_sql() -> dict[str, str]:
             # serial golden (fixtures.ensure_hll_golden): integer
             # bit-scan registers, same HLL estimate formula
             f"SELECT * FROM read_parquet('{_CACHE_ROOT}/hll_golden_sf0.01/ndv.parquet')"
+        ),
+        "approx_quantiles_events": (
+            # serial golden (fixtures.ensure_ddq_golden): per-row
+            # Python loops + dict counters, same DDSketch γ
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/ddq_golden_sf0.01/quantiles.parquet')"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "

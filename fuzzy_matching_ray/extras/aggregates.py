@@ -392,3 +392,111 @@ def approx_ndistinct(
 
     partial = ds.map_batches(_partial, batch_format="pandas")
     return bucketed_group_apply(partial, "key", _final, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style approximate quantiles (unbounded domains)
+
+def _dd_gamma(rel_err: float) -> float:
+    return (1.0 + rel_err) / (1.0 - rel_err)
+
+
+# bucket-key bias: the log-bucket index b = ceil(ln|v|/ln γ) is
+# NEGATIVE for |v| < 1 (b spans roughly ±36k over the double range at
+# r=0.01), so sign-encoding needs a bias that keeps every positive
+# value's key strictly above 0 and every negative value's below
+_DD_BIAS = 1 << 20
+
+
+def _dd_bucket_keys(vals: np.ndarray, gamma_log: float) -> np.ndarray:
+    """Order-preserving int64 bucket keys: ``sign(v)·(b + BIAS)`` with
+    ``b = ceil(ln|v|/ln γ)``, 0 for exact zeros.  Monotone in v — a
+    more-negative value has larger |v|, larger b, more-negative key —
+    so a cumulative count over sorted keys yields rank-correct
+    quantile buckets."""
+    keys = np.zeros(vals.size, np.int64)
+    pos = vals > 0
+    neg = vals < 0
+    if pos.any():
+        b = np.ceil(np.log(vals[pos]) / gamma_log).astype(np.int64)
+        keys[pos] = b + _DD_BIAS
+    if neg.any():
+        b = np.ceil(np.log(-vals[neg]) / gamma_log).astype(np.int64)
+        keys[neg] = -(b + _DD_BIAS)
+    return keys
+
+
+def _dd_rep(key: int, gamma: float) -> float:
+    """Bucket representative: the γ-midpoint ``2γᵇ/(γ+1)`` — within
+    ``rel_err`` of every value the bucket holds."""
+    if key == 0:
+        return 0.0
+    b = abs(key) - _DD_BIAS
+    rep = 2.0 * (gamma ** b) / (gamma + 1.0)
+    return rep if key > 0 else -rep
+
+
+def approx_quantiles_sketch(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    val_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    q_names: tuple[str, ...] = ("p25", "p50", "p90"),
+    rel_err: float = 0.01,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key approximate quantiles with a GUARANTEED relative error
+    bound over an UNBOUNDED value domain — the scale path
+    ``quantile_bucket_assign`` documents (that operator's exact
+    histogram needs a moderate distinct-value cardinality; this one's
+    state is ~``log(range)/log γ`` buckets per key regardless of
+    cardinality).
+
+    DDSketch (Masson, Rim & Lee, VLDB 2019) shape: values map to
+    log-spaced buckets with γ = (1+r)/(1−r), per-batch ``(key, bucket,
+    n)`` partial counts combine BEFORE the single key-bucketed
+    shuffle, and the per-key quantile is the γ-midpoint of the bucket
+    holding rank ``ceil(q·n)`` (the ``quantile_disc`` rank contract).
+    Every reported quantile is within ``rel_err`` of the exact
+    discrete quantile (pytest gate); the sketch is mergeable and
+    order-independent, so the output is deterministic under any
+    partitioning — value-hashable against a serial golden
+    (``fixtures.ensure_ddq_golden``)."""
+    assert len(qs) == len(q_names)
+    gamma = _dd_gamma(rel_err)
+    gamma_log = float(np.log(gamma))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[val_col].to_numpy(np.float64)
+        g = (
+            pd.DataFrame(
+                {
+                    "key": batch[key_col].to_numpy(),
+                    "bucket": _dd_bucket_keys(vals, gamma_log),
+                }
+            )
+            .groupby(["key", "bucket"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in df.groupby("key", sort=False):
+            counts = sub.groupby("bucket", sort=True)["n"].sum()
+            cum = counts.cumsum().to_numpy(np.int64)
+            buckets = counts.index.to_numpy(np.int64)
+            n = int(cum[-1])
+            row = {key_col: key, "n": n}
+            for q, name in zip(qs, q_names):
+                rank = max(1, int(np.ceil(q * n)))
+                row[name] = _dd_rep(int(buckets[np.searchsorted(cum, rank)]), gamma)
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[key_col, *q_names, "n"])
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return bucketed_group_apply(partial, "key", _final, num_partitions)

@@ -752,3 +752,78 @@ def ensure_hll_golden(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out_path
+
+
+def ensure_ddq_golden(sf_dir: str, rel_err: float = 0.01) -> str:
+    """Serial golden for ``approx_quantiles_events`` (the DDSketch
+    operator): per-event-type approximate p25/p50/p90 over ``value``.
+    The sketch is deterministic and order-independent (log-bucket
+    counts merge by addition), so its output at a pinned γ IS a
+    checkable value.  This golden recomputes it with independent
+    per-row Python loops and dict counters — none of the distributed
+    partial-combine machinery."""
+    import math
+
+    import numpy as np
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT, f"ddq_golden_{sf}")
+    out_path = os.path.join(out_dir, "quantiles.parquet")
+    marker = os.path.join(out_dir, f"_done_{rel_err}")
+    if os.path.exists(marker):
+        return out_path
+    os.makedirs(out_dir, exist_ok=True)
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    gamma_log = float(np.log(gamma))
+    bias = 1 << 20  # sign-encoding bias (extras.aggregates._DD_BIAS)
+    counts: dict[str, dict[int, int]] = {}
+    for et, v in zip(tbl["event_type"].to_pylist(), tbl["value"].to_pylist()):
+        v = float(v)
+        if v > 0:
+            key = int(np.ceil(np.log(v) / gamma_log)) + bias
+        elif v < 0:
+            key = -(int(np.ceil(np.log(-v) / gamma_log)) + bias)
+        else:
+            key = 0
+        counts.setdefault(et, {})[key] = counts.setdefault(et, {}).get(key, 0) + 1
+
+    def rep(key: int) -> float:
+        if key == 0:
+            return 0.0
+        b = abs(key) - bias
+        r = 2.0 * (gamma ** b) / (gamma + 1.0)
+        return r if key > 0 else -r
+
+    rows = []
+    for et in sorted(counts):
+        buckets = sorted(counts[et])
+        n = sum(counts[et].values())
+        row = {"event_type": et, "n": n}
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            rank = max(1, math.ceil(q * n))
+            cum = 0
+            for b in buckets:
+                cum += counts[et][b]
+                if cum >= rank:
+                    row[name] = rep(b)
+                    break
+        rows.append(row)
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+                "p25": pa.array([r["p25"] for r in rows], pa.float64()),
+                "p50": pa.array([r["p50"] for r in rows], pa.float64()),
+                "p90": pa.array([r["p90"] for r in rows], pa.float64()),
+                "n": pa.array([r["n"] for r in rows], pa.int64()),
+            }
+        ),
+        out_path,
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_path

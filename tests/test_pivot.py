@@ -142,3 +142,71 @@ def test_pivot_counts_combines_and_totals():
     assert out.loc["a"].tolist() == [2, 1, 4]  # n_x, n_y, n_total
     assert out.loc["b"].tolist() == [0, 1, 2]
     assert out.columns.tolist() == ["n_x", "n_y", "n_total"]
+
+
+def test_approx_quantiles_sketch_error_bound(ray_session):
+    """DDSketch quantiles: every reported quantile within rel_err of
+    the exact discrete quantile, negatives and zeros included."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.aggregates import approx_quantiles_sketch
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for key, scale in (("a", 1.0), ("b", 1000.0)):
+        v = rng.lognormal(0, 2, 4000) * scale
+        v[::7] = -v[::7]  # negatives
+        v[::50] = 0.0     # exact zeros
+        frames.append(pd.DataFrame({"k": key, "v": v}))
+    df = pd.concat(frames, ignore_index=True)
+    rel = 0.01
+    out = (
+        approx_quantiles_sketch(
+            rd.from_pandas(df).repartition(5),
+            key_col="k",
+            val_col="v",
+            rel_err=rel,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    for key, g in df.groupby("k"):
+        vals = np.sort(g["v"].to_numpy())
+        n = len(vals)
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            exact = vals[max(1, int(np.ceil(q * n))) - 1]
+            got = out.loc[key, name]
+            if exact == 0:
+                assert got == 0.0
+            else:
+                assert abs(got - exact) <= rel * abs(exact) * 1.0000001, (
+                    key, name, got, exact
+                )
+        assert out.loc[key, "n"] == n
+
+
+def test_approx_quantiles_partition_independent(ray_session):
+    """The sketch is order-independent: identical output at different
+    partitionings (the property the serial golden oracle relies on)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.aggregates import approx_quantiles_sketch
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], 3000), "v": rng.exponential(9, 3000)})
+    outs = []
+    for parts in (1, 7):
+        outs.append(
+            approx_quantiles_sketch(
+                rd.from_pandas(df).repartition(parts), key_col="k", val_col="v"
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
