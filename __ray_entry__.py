@@ -1071,8 +1071,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "bm25_search": _q_bm25_search,
         "pack_sequences": _q_pack_sequences,
-        "multimodal_frames": _q_multimodal_frames,
-        "multimodal_features": _q_multimodal_features,
+        # tfidf/rarity moved into the driver-checked first 50 after the
+        # round-4 DF-sharding rework (most-load-bearing-first ordering)
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "rare_token_stats": _q_rare_token_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         # HLL sketch — deterministic given the hash; serial bit-scan
         # golden oracle at sf0.01 plus a pytest relative-error gate
@@ -1096,10 +1098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": _q_sample_documents,
         # composed curation pipeline (filter -> dedup -> sample in one plan)
         "curate_documents": _q_curate_documents,
-        # corpus-aware term weighting (bucketed DF reduce; bounded
-        # broadcast or bucketed join per df_mode)
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "rare_token_stats": _q_rare_token_stats,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_features": _q_multimodal_features,
         "events_pivot": _q_events_pivot,
         "length_deciles_documents": _q_length_deciles,
         "gram_novelty_documents": _q_gram_novelty,

@@ -218,7 +218,16 @@ def main() -> None:
             for ncpu in order:
                 probe = _host_probe_ms()
                 r = _run_subprocess(ncpu, scale_dir, ["--dedup-only"])
+                # post-leg probe too: a memory-pressure phase STARTING
+                # mid-leg pollutes the wall but not the pre-probe.  A
+                # settle delay first — probing straight after the leg's
+                # process teardown measures the kernel reclaiming its
+                # pages, not the host (observed: every immediate
+                # post-probe after an 8-CPU leg read 0.7-2.8 s while
+                # pre-probes around it were clean)
                 r["probe_ms"] = probe
+                time.sleep(10)
+                r["probe_after_ms"] = _host_probe_ms()
                 legs[ncpu] = r
             eff = (legs[lo]["value"] / legs[hi]["value"]) / (hi / lo)
             pairs.append(
@@ -229,9 +238,14 @@ def main() -> None:
                     "turns_per_sec_32": legs[hi]["turns_per_sec"],
                     "probe_ms_8": legs[lo]["probe_ms"],
                     "probe_ms_32": legs[hi]["probe_ms"],
+                    "probe_after_ms_8": legs[lo]["probe_after_ms"],
+                    "probe_after_ms_32": legs[hi]["probe_after_ms"],
                     "scaling_efficiency": round(eff, 3),
-                    "clean": legs[lo]["probe_ms"] <= probe_clean_ms
-                    and legs[hi]["probe_ms"] <= probe_clean_ms,
+                    "clean": all(
+                        legs[c][k] <= probe_clean_ms
+                        for c in (lo, hi)
+                        for k in ("probe_ms", "probe_after_ms")
+                    ),
                     "stage_seconds_8": legs[lo].get("stage_seconds", {}),
                     "stage_seconds_32": legs[hi].get("stage_seconds", {}),
                     "n_turns": legs[hi]["n_turns"],
