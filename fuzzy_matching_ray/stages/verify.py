@@ -32,6 +32,11 @@ from fuzzy_matching_ray.hashing import char_shingle_hashes
 
 _EDIT_PREFIX_CAP = 2048  # chars of text used for the edit-similarity gate
 
+# opt-in coarse section profiler (tools/profile_verify.py): a dict of
+# accumulated seconds per kernel section.  None — the default — keeps
+# the hot kernel free of timer calls beyond one branch per section.
+PROF: dict | None = None
+
 # metric sentinel rows emitted by VerifierPool (one per batch) carrying
 # the estimate-gate skip count in edit_sim; never become edges
 GATE_CHANNEL = "__gate"
@@ -621,6 +626,22 @@ class VerifierPool:
 
         from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
 
+        prof = PROF
+        if prof is not None:
+            import time as _t
+
+            _lap_t = [_t.perf_counter()]
+
+            def _lap(name: str) -> None:
+                now = _t.perf_counter()
+                prof[name] = prof.get(name, 0.0) + (now - _lap_t[0])
+                _lap_t[0] = now
+
+        else:
+
+            def _lap(name: str) -> None:
+                return None
+
         def _np(col):
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
@@ -644,6 +665,7 @@ class VerifierPool:
         jac = np.zeros(n, dtype=np.float64)
         edit = np.zeros(n, dtype=np.float64)
         use_edit = cfg.edit_accept_threshold > 0
+        _lap("prep")
 
         # resolve store rows once per batch — vectorized searchsorted,
         # no per-pair dict probes
@@ -651,6 +673,7 @@ class VerifierPool:
         rd_sig = self._sig_rows(dsts)
         rs_txt = self._text_rows(srcs)
         rd_txt = self._text_rows(dsts)
+        _lap("lookup")
 
         # pass 1 — vectorized signature-estimate gate over the batch
         need_exact = np.ones(n, dtype=bool)
@@ -677,6 +700,7 @@ class VerifierPool:
                 est[i] = float((sa == sb).mean())
             need_exact = est >= gate
             jac = np.where(need_exact, jac, est)
+        _lap("gate")
         # the metric means "pairs the gate CULLED": exclude pairs that
         # get exactly scored anyway (substring channel / exact channel)
         # and __skew sentinels, which were never real candidates
@@ -745,6 +769,7 @@ class VerifierPool:
                 res_mask &= ratio_ok
             else:
                 res_done = np.zeros(todo.size, dtype=bool)
+            _lap("sizefilter")
             if res_mask.any():
                 vec = todo[res_mask]
                 ra_v, rb_v = rs_sig[vec], rd_sig[vec]
@@ -770,6 +795,7 @@ class VerifierPool:
                     np.cumsum(b_sizes[s0 : e0 - 1], out=seg[1:])
                     inter = np.add.reduceat(eq, seg)
                     jac[vec[s0:e0]] = inter / (a.size + b_sizes[s0:e0] - inter)
+                _lap("vec_jaccard")
                 # gray-zone edit kernel for the vectorized pairs
                 if use_edit:
                     gray = vec[
@@ -783,6 +809,7 @@ class VerifierPool:
                         lb = min(len(dt), _EDIT_PREFIX_CAP)
                         if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
                             edit[i] = indel_ratio(st[:_EDIT_PREFIX_CAP], dt[:_EDIT_PREFIX_CAP])
+                _lap("gray_edit")
                 todo = todo[~res_mask & ~res_done]
             else:
                 todo = todo[~res_done]
@@ -817,6 +844,7 @@ class VerifierPool:
                 lb = min(len(dt), _EDIT_PREFIX_CAP)
                 if la + lb and 2.0 * min(la, lb) / (la + lb) >= cfg.edit_accept_threshold:
                     edit[i] = indel_ratio(st[:_EDIT_PREFIX_CAP], dt[:_EDIT_PREFIX_CAP])
+        _lap("perpair_loop")
 
         out = pa.table(
             {
