@@ -32,6 +32,11 @@ from fuzzy_matching_ray.hashing import char_shingle_hashes
 
 _EDIT_PREFIX_CAP = 2048  # chars of text used for the edit-similarity gate
 
+# element budget per vectorized-Jaccard chunk: flat(4B) + idx(8B) +
+# eq(4B) + bool temp ≈ 17 B/elem → 48k elems ≈ 0.8 MB, inside a
+# per-core L2 even with 32 concurrent verifier tasks
+_VEC_CHUNK = 49152
+
 # opt-in coarse section profiler (tools/profile_verify.py): a dict of
 # accumulated seconds per kernel section.  None — the default — keeps
 # the hot kernel free of timer calls beyond one branch per section.
@@ -134,6 +139,34 @@ def _gather_packed(ds: ray.data.Dataset, pack_fn, args: tuple, fallbacks: dict |
             yield pack_fn(ray.get(block_ref), *args)
 
 
+def _pconcat(parts: list[np.ndarray]) -> np.ndarray:
+    """Concatenate along axis 0 into a preallocated buffer with a small
+    thread pool.  numpy slice-assignment releases the GIL, and spreading
+    the first-touch page faults of the ~GB store buffers over threads
+    cuts the single-task assembly's flat cost (serial ``concatenate``
+    was a CPU-count-independent 2-4 s at scale72000 under this host's
+    memory-pressure phases).  Small inputs stay serial."""
+    if len(parts) == 1:
+        return parts[0]
+    lens = [p.shape[0] for p in parts]
+    offs = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    shape = (int(offs[-1]),) + parts[0].shape[1:]
+    out = np.empty(shape, dtype=parts[0].dtype)
+    if offs[-1] < (1 << 22):
+        for i, p in enumerate(parts):
+            out[offs[i] : offs[i + 1]] = p
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _copy(i: int) -> None:
+        out[offs[i] : offs[i + 1]] = parts[i]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(_copy, range(len(parts))))
+    return out
+
+
 def _assemble_store(
     text_parts: list, sig_parts: list, has_shingles: bool
 ) -> dict:
@@ -146,7 +179,11 @@ def _assemble_store(
 
     text_nids = np.concatenate(nid_parts) if nid_parts else np.empty(0, dtype=np.uint64)
     n_docs = text_nids.size
-    text_flat = np.frombuffer(b"".join(text_chunks), dtype=np.uint8)
+    text_flat = (
+        _pconcat([np.frombuffer(c, dtype=np.uint8) for c in text_chunks])
+        if text_chunks
+        else np.empty(0, dtype=np.uint8)
+    )
     lens = np.concatenate(text_lens) if text_lens else np.empty(0, dtype=np.int64)
     text_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=text_off[1:])
@@ -167,11 +204,11 @@ def _assemble_store(
         np.concatenate(sig_nid_parts) if sig_nid_parts else np.empty(0, dtype=np.uint64)
     )
     sig_order = np.argsort(sig_nids, kind="stable")
-    sig_mat = np.vstack(sig_mats) if sig_mats else None
+    sig_mat = _pconcat(sig_mats) if sig_mats else None
     sh_flat = None
     sh_off = None
     if has_shingles and sh_flats:
-        sh_flat = np.concatenate(sh_flats)
+        sh_flat = _pconcat(sh_flats)
         lens_s = np.concatenate(sh_lens)
         sh_off = np.zeros(lens_s.size + 1, dtype=np.int64)
         np.cumsum(lens_s, out=sh_off[1:])
@@ -775,6 +812,16 @@ class VerifierPool:
                 ra_v, rb_v = rs_sig[vec], rd_sig[vec]
                 b_sizes = sh_off[rb_v + 1] - sh_off[rb_v]
                 bounds = np.flatnonzero(np.r_[True, ra_v[1:] != ra_v[:-1], True])
+                # cache-blocked inner loop: a long run (~100 dsts ×
+                # ~2k shingles) used to materialize ~6 MB of int64
+                # temporaries (idx/eq) per run; at 32 verifier threads
+                # that is ~190 MB of live temporaries — far past L3 —
+                # so the kernel went DRAM-bound and stopped scaling.
+                # Chunking to ≤_VEC_CHUNK elements keeps flat+idx+eq
+                # inside L2 per thread (the only unavoidable DRAM
+                # traffic left is the one-time gather of each dst set
+                # out of the broadcast shingle buffer).  Bit-identical
+                # results — only the segmentation changes.
                 for s0, e0 in zip(bounds[:-1], bounds[1:]):
                     arow = ra_v[s0]
                     a = sh_flat[sh_off[arow] : sh_off[arow + 1]]
@@ -784,17 +831,24 @@ class VerifierPool:
                             inter = _sorted_intersect_size(a, bb)
                             jac[vec[j]] = inter / (a.size + bb.size - inter)
                         continue
-                    parts = [
-                        sh_flat[sh_off[r] : sh_off[r + 1]] for r in rb_v[s0:e0]
-                    ]
-                    flat = np.concatenate(parts)
-                    idx = np.searchsorted(a, flat)
-                    np.minimum(idx, a.size - 1, out=idx)
-                    eq = (a[idx] == flat).astype(np.int64)
-                    seg = np.zeros(e0 - s0, dtype=np.int64)
-                    np.cumsum(b_sizes[s0 : e0 - 1], out=seg[1:])
-                    inter = np.add.reduceat(eq, seg)
-                    jac[vec[s0:e0]] = inter / (a.size + b_sizes[s0:e0] - inter)
+                    j0 = s0
+                    while j0 < e0:
+                        j1 = j0
+                        tot = 0
+                        while j1 < e0 and tot < _VEC_CHUNK:
+                            tot += b_sizes[j1]
+                            j1 += 1
+                        flat = np.concatenate(
+                            [sh_flat[sh_off[r] : sh_off[r + 1]] for r in rb_v[j0:j1]]
+                        )
+                        idx = np.searchsorted(a, flat)
+                        np.minimum(idx, a.size - 1, out=idx)
+                        eq = (a[idx] == flat).astype(np.int32)
+                        seg = np.zeros(j1 - j0, dtype=np.int64)
+                        np.cumsum(b_sizes[j0 : j1 - 1], out=seg[1:])
+                        inter = np.add.reduceat(eq, seg)
+                        jac[vec[j0:j1]] = inter / (a.size + b_sizes[j0:j1] - inter)
+                        j0 = j1
                 _lap("vec_jaccard")
                 # gray-zone edit kernel for the vectorized pairs
                 if use_edit:
