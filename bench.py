@@ -248,6 +248,8 @@ def main() -> None:
                     ),
                     "stage_seconds_8": legs[lo].get("stage_seconds", {}),
                     "stage_seconds_32": legs[hi].get("stage_seconds", {}),
+                    "verify_detail_8": legs[lo].get("verify_detail", {}),
+                    "verify_detail_32": legs[hi].get("verify_detail", {}),
                     "n_turns": legs[hi]["n_turns"],
                 }
             )

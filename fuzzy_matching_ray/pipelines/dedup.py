@@ -190,6 +190,18 @@ def dedup_transcripts(
     pair_sets = [get_channel(name)(uniq_docs, sigs, cfg) for name in channels]
     if not pair_sets:
         raise ValueError("at least one channel required")
+
+    # broadcast-store build overlaps the candidate-pair shuffle: the
+    # store reads only the already-materialized docs + sigs blocks, so
+    # its pack/assemble tasks run while the LSH bucket shuffle is in
+    # flight instead of as a serial segment inside the verify stage.
+    # Skipped when a checkpointed edge set will be reused (the build
+    # would be pure waste).
+    prebuilt_store = None
+    if attach == "broadcast" and not (ckpt and ckpt.completed("edges")):
+        from fuzzy_matching_ray.stages.verify import start_store_build
+
+        prebuilt_store = start_store_build(docs, cfg, sigs)
     pairs = pair_sets[0]
     for extra in pair_sets[1:]:
         pairs = pairs.union(extra)
@@ -235,6 +247,7 @@ def dedup_transcripts(
             doc_count=metrics["unique_docs"],
             sigs=sigs,
             metrics=metrics,
+            prebuilt_store=prebuilt_store,
         )
         # verified pairs travel as uint64 node ids; conv_id strings
         # reappear only here, on the (small) surviving edge set

@@ -260,6 +260,24 @@ def attach_texts_broadcast(
     ~12s at scale24000 in attach_s).  Any failure falls back, loudly
     and counted, to the driver-side gather (which retains per-block
     repack repair)."""
+    handle = start_store_build(docs, cfg, sigs)
+    return pairs, finish_store_build(handle, docs, cfg, sigs, fallbacks)
+
+
+def start_store_build(
+    docs: ray.data.Dataset,
+    cfg: PipelineConfig,
+    sigs: ray.data.Dataset | None = None,
+) -> dict:
+    """Launch the broadcast-store pack + assemble tasks WITHOUT
+    blocking and return an opaque handle for ``finish_store_build``.
+
+    The store depends only on the (materialized) docs and signature
+    datasets — not on candidate pairs — so the flagship starts the
+    build before the pair shuffle and the two overlap; the store-build
+    wall (a CPU-count-independent serial segment when run inline)
+    disappears behind the shuffle.  A failure here is deferred into the
+    handle: ``finish_store_build`` owns the loud driver-side fallback."""
     # schema() is None for a fully-empty materialized dataset (the
     # 0-doc corpus edge): treat it as signatures-without-shingles
     sig_schema = sigs.schema() if sigs is not None else None
@@ -284,13 +302,36 @@ def attach_texts_broadcast(
         build = ray.remote(num_cpus=2)(_assemble_store_task)
         store_ref = build.remote(len(text_refs), has_shingles, *text_refs, *sig_refs)
         # health probe that fetches ONE int, not the store: a failed
-        # pack/build must surface HERE (where the fallback can run),
-        # not inside a verifier actor's __init__
+        # pack/build must surface in finish_store_build (where the
+        # fallback can run), not inside a verifier actor's __init__
         probe = ray.remote(num_cpus=0)(lambda s: int(s["text_nids_sorted"].size))
-        n_store = ray.get(probe.remote(store_ref))
+        return {
+            "store_ref": store_ref,
+            "probe_ref": probe.remote(store_ref),
+            "has_shingles": has_shingles,
+        }
+    except Exception as exc:  # deferred to finish_store_build
+        return {"error": exc, "has_shingles": has_shingles}
+
+
+def finish_store_build(
+    handle: dict,
+    docs: ray.data.Dataset,
+    cfg: PipelineConfig,
+    sigs: ray.data.Dataset | None = None,
+    fallbacks: dict | None = None,
+) -> "ray.ObjectRef":
+    """Block on a ``start_store_build`` handle and return the store
+    ref; on any build failure run the (loud, counted) driver-side
+    gather fallback."""
+    has_shingles = handle["has_shingles"]
+    try:
+        if "error" in handle:
+            raise handle["error"]
+        n_store = ray.get(handle["probe_ref"])
         if n_store == 0 and docs.count() > 0:
             raise RuntimeError("remote store build produced an empty store")
-        return pairs, store_ref
+        return handle["store_ref"]
     except Exception as exc:
         print(f"[verify] remote store build failed ({exc!r}); driver-side build")
         if fallbacks is not None:
@@ -302,7 +343,7 @@ def attach_texts_broadcast(
         if sigs is not None
         else []
     )
-    return pairs, ray.put(_assemble_store(text_parts, sig_parts, has_shingles))
+    return ray.put(_assemble_store(text_parts, sig_parts, has_shingles))
 
 
 def _pad_column(typ: pa.DataType, n: int) -> pa.Array:
@@ -932,6 +973,7 @@ def verify_pairs(
     doc_count: int | None = None,
     sigs: ray.data.Dataset | None = None,
     metrics: dict | None = None,
+    prebuilt_store: dict | None = None,
 ) -> ray.data.Dataset:
     """Score candidate pairs; emit edges with ``score >= threshold``.
 
@@ -974,7 +1016,14 @@ def verify_pairs(
     store_ref = None
     if attach == "broadcast":
         fb: dict = {}
-        pairs, store_ref = attach_texts_broadcast(pairs, docs, cfg, sigs=sigs, fallbacks=fb)
+        if prebuilt_store is not None:
+            # build was launched before the pair shuffle (overlapped);
+            # this only blocks on the probe
+            store_ref = finish_store_build(prebuilt_store, docs, cfg, sigs, fb)
+        else:
+            pairs, store_ref = attach_texts_broadcast(
+                pairs, docs, cfg, sigs=sigs, fallbacks=fb
+            )
         if fb and metrics is not None:
             # any nonzero count here means the parallel store build
             # partially degraded to driver-side work — a real slowdown
