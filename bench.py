@@ -230,41 +230,44 @@ def main() -> None:
                 r["probe_after_ms"] = _host_probe_ms()
                 legs[ncpu] = r
             eff = (legs[lo]["value"] / legs[hi]["value"]) / (hi / lo)
+            # keys carry the ACTUAL cpu counts (sec_2/sec_8 under
+            # FMR_SCALING_CPUS=2,8) — hard-coded _8/_32 suffixes
+            # mislabeled non-default pairs in aggregated records
             pairs.append(
                 {
-                    "sec_8": legs[lo]["value"],
-                    "sec_32": legs[hi]["value"],
-                    "turns_per_sec_8": legs[lo]["turns_per_sec"],
-                    "turns_per_sec_32": legs[hi]["turns_per_sec"],
-                    "probe_ms_8": legs[lo]["probe_ms"],
-                    "probe_ms_32": legs[hi]["probe_ms"],
-                    "probe_after_ms_8": legs[lo]["probe_after_ms"],
-                    "probe_after_ms_32": legs[hi]["probe_after_ms"],
+                    f"sec_{lo}": legs[lo]["value"],
+                    f"sec_{hi}": legs[hi]["value"],
+                    f"turns_per_sec_{lo}": legs[lo]["turns_per_sec"],
+                    f"turns_per_sec_{hi}": legs[hi]["turns_per_sec"],
+                    f"probe_ms_{lo}": legs[lo]["probe_ms"],
+                    f"probe_ms_{hi}": legs[hi]["probe_ms"],
+                    f"probe_after_ms_{lo}": legs[lo]["probe_after_ms"],
+                    f"probe_after_ms_{hi}": legs[hi]["probe_after_ms"],
                     "scaling_efficiency": round(eff, 3),
                     "clean": all(
                         legs[c][k] <= probe_clean_ms
                         for c in (lo, hi)
                         for k in ("probe_ms", "probe_after_ms")
                     ),
-                    "stage_seconds_8": legs[lo].get("stage_seconds", {}),
-                    "stage_seconds_32": legs[hi].get("stage_seconds", {}),
-                    "verify_detail_8": legs[lo].get("verify_detail", {}),
-                    "verify_detail_32": legs[hi].get("verify_detail", {}),
+                    f"stage_seconds_{lo}": legs[lo].get("stage_seconds", {}),
+                    f"stage_seconds_{hi}": legs[hi].get("stage_seconds", {}),
+                    f"verify_detail_{lo}": legs[lo].get("verify_detail", {}),
+                    f"verify_detail_{hi}": legs[hi].get("verify_detail", {}),
                     "n_turns": legs[hi]["n_turns"],
                 }
             )
         clean_effs = [p["scaling_efficiency"] for p in pairs if p["clean"]]
         all_effs = [p["scaling_efficiency"] for p in pairs]
-        best = min(pairs, key=lambda p: p["sec_32"])
+        best = min(pairs, key=lambda p: p[f"sec_{hi}"])
         print(
             json.dumps(
                 {
                     "metric": f"scaling efficiency ({lo} vs {hi} CPUs, fresh processes)",
                     "cpus": [lo, hi],
-                    "sec_8": best["sec_8"],
-                    "sec_32": best["sec_32"],
-                    "turns_per_sec_8": best["turns_per_sec_8"],
-                    "turns_per_sec_32": best["turns_per_sec_32"],
+                    f"sec_{lo}": best[f"sec_{lo}"],
+                    f"sec_{hi}": best[f"sec_{hi}"],
+                    f"turns_per_sec_{lo}": best[f"turns_per_sec_{lo}"],
+                    f"turns_per_sec_{hi}": best[f"turns_per_sec_{hi}"],
                     # headline = median over probe-clean pairs (falls
                     # back to all pairs if the host never went quiet)
                     "scaling_efficiency": round(

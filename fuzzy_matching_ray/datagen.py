@@ -275,11 +275,16 @@ def write_transcripts(
         return turns_dir
     os.makedirs(turns_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, "truth"), exist_ok=True)
-    # a previous layout with a different shard count leaves stale files
-    # a glob reader would double-count — clear them (markers differ)
+    # a previous layout with a different config leaves stale files a
+    # glob reader would double-count — clear them, AND clear the old
+    # config's marker: a surviving marker would otherwise claim files
+    # this call is about to delete (a later call with that config
+    # would silently return the wrong corpus)
     import glob as _glob
 
     for stale in _glob.glob(os.path.join(turns_dir, "*.parquet")):
+        os.remove(stale)
+    for stale in _glob.glob(os.path.join(out_dir, "_done_*")):
         os.remove(stale)
     transcripts, dup_truth = generate_transcripts(cfg)
     # shard on conv hash: resumable layout, one file per shard

@@ -281,6 +281,13 @@ def quantile_bucket_assign(
                 f"quantile_bucket_assign needs an integer {val_col!r} "
                 f"(got {col.type}); discretize floats explicitly first"
             )
+        if col.null_count:
+            # nulls would vanish from the histogram but reach the
+            # assignment pass as INT64_MIN garbage — fail loudly
+            raise TypeError(
+                f"quantile_bucket_assign: {val_col!r} contains "
+                f"{col.null_count} null(s); drop or fill them first"
+            )
         vc = col.value_counts()
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
@@ -402,36 +409,41 @@ def _dd_gamma(rel_err: float) -> float:
 
 
 # bucket-key bias: the log-bucket index b = ceil(ln|v|/ln γ) is
-# NEGATIVE for |v| < 1 (b spans roughly ±36k over the double range at
-# r=0.01), so sign-encoding needs a bias that keeps every positive
-# value's key strictly above 0 and every negative value's below
-_DD_BIAS = 1 << 20
+# NEGATIVE for |v| < 1, so sign-encoding needs a bias that keeps every
+# positive value's key strictly above 0 and every negative value's
+# below.  |b| is bounded by |ln v|/ln γ over the finite-double range
+# (denormals: ln|v| ≥ −744.45; max double: ln v ≤ 709.79), so the bias
+# must scale with 1/ln γ — a fixed constant silently sign-flips keys
+# once rel_err gets small enough (b > const at rel_err ≈ 7e-4)
+def _dd_bias(gamma_log: float) -> int:
+    return int(np.ceil(745.0 / gamma_log)) + 2
 
 
 def _dd_bucket_keys(vals: np.ndarray, gamma_log: float) -> np.ndarray:
-    """Order-preserving int64 bucket keys: ``sign(v)·(b + BIAS)`` with
+    """Order-preserving int64 bucket keys: ``sign(v)·(b + bias)`` with
     ``b = ceil(ln|v|/ln γ)``, 0 for exact zeros.  Monotone in v — a
     more-negative value has larger |v|, larger b, more-negative key —
     so a cumulative count over sorted keys yields rank-correct
     quantile buckets."""
+    bias = _dd_bias(gamma_log)
     keys = np.zeros(vals.size, np.int64)
     pos = vals > 0
     neg = vals < 0
     if pos.any():
         b = np.ceil(np.log(vals[pos]) / gamma_log).astype(np.int64)
-        keys[pos] = b + _DD_BIAS
+        keys[pos] = b + bias
     if neg.any():
         b = np.ceil(np.log(-vals[neg]) / gamma_log).astype(np.int64)
-        keys[neg] = -(b + _DD_BIAS)
+        keys[neg] = -(b + bias)
     return keys
 
 
-def _dd_rep(key: int, gamma: float) -> float:
+def _dd_rep(key: int, gamma: float, gamma_log: float) -> float:
     """Bucket representative: the γ-midpoint ``2γᵇ/(γ+1)`` — within
     ``rel_err`` of every value the bucket holds."""
     if key == 0:
         return 0.0
-    b = abs(key) - _DD_BIAS
+    b = abs(key) - _dd_bias(gamma_log)
     rep = 2.0 * (gamma ** b) / (gamma + 1.0)
     return rep if key > 0 else -rep
 
@@ -464,6 +476,10 @@ def approx_quantiles_sketch(
     partitioning — value-hashable against a serial golden
     (``fixtures.ensure_ddq_golden``)."""
     assert len(qs) == len(q_names)
+    if not 0.0 < rel_err < 1.0:
+        # rel_err ≥ 1 makes γ ≤ 0 (log of a non-positive number);
+        # rel_err ≤ 0 inverts the bucket ordering — both silent
+        raise ValueError(f"rel_err must be in (0, 1), got {rel_err}")
     gamma = _dd_gamma(rel_err)
     gamma_log = float(np.log(gamma))
 
@@ -494,7 +510,9 @@ def approx_quantiles_sketch(
             row = {key_col: key, "n": n}
             for q, name in zip(qs, q_names):
                 rank = max(1, int(np.ceil(q * n)))
-                row[name] = _dd_rep(int(buckets[np.searchsorted(cum, rank)]), gamma)
+                row[name] = _dd_rep(
+                    int(buckets[np.searchsorted(cum, rank)]), gamma, gamma_log
+                )
             rows.append(row)
         return pd.DataFrame(rows, columns=[key_col, *q_names, "n"])
 

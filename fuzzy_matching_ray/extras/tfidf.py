@@ -25,10 +25,24 @@ execution modes, selected per call (``df_mode``):
 * ``auto`` (default) — run the distributed DF aggregation, count the
   distinct terms (the aggregate is materialized, so the count is
   free), and pick: broadcast under ``broadcast_max_terms``, bucketed
-  above (with a log line — no silent mode flips).
+  above (with a log line — no silent mode flips).  The exact loud
+  bound has a known price: when auto flips to bucketed, the
+  aggregation pass it decided from is discarded (the bucketed term
+  shuffle recomputes df from rows it already holds — a join back to
+  the aggregate would move MORE data, vocabulary-sized, than the
+  per-bucket recount).  Callers that know they are at web scale
+  should pass ``df_mode='bucketed'`` explicitly, which skips the
+  decision pass entirely; both modes produce identical exact output.
 
 Determinism contract with the SQL oracles (both modes): tokenization
-is lowercase + whitespace split (identical to ``token_heavy_hitters``),
+is lowercase + whitespace split.  Precision note: Python ``str.split``
+(here), Arrow ``utf8_split_whitespace`` (``token_heavy_hitters``) and
+DuckDB/RE2 ``\\s+`` (the oracles) agree exactly on ASCII whitespace
+(space/tab/CR/LF — the documents-table domain) but diverge on exotic
+separators (Python additionally splits U+001C–U+001F; Arrow
+additionally splits U+00A0/U+2028-class Unicode White_Space; RE2
+``\\s`` splits neither) — corpora containing those need one
+tokenizer chosen explicitly,
 tf and df are exact integers, and the TF-IDF ranking key ``tf / df``
 is ONE IEEE-754 double division — exactly rounded, so DuckDB's
 ``tf * 1.0 / df`` orders identically and the driver hash matches.
@@ -122,14 +136,29 @@ def _resolve_df_mode(
             )
         print(
             f"[tfidf] vocabulary {n_terms} > broadcast_max_terms "
-            f"{broadcast_max_terms}: switching to the bucketed path"
+            f"{broadcast_max_terms}: switching to the bucketed path "
+            f"(the decision aggregate is discarded — pass "
+            f"df_mode='bucketed' to skip it when scale is known upfront)"
         )
         return None
-    pdf = dfds.to_pandas()
-    terms = pdf["term"].to_numpy(dtype=object)
-    dfs = pdf["df"].to_numpy(np.int64)
+    # sort+pack in ONE remote task whose return value IS the broadcast
+    # object: the driver only ever holds the ref — pulling the whole
+    # vocabulary through the driver (to_pandas + argsort + ray.put)
+    # made driver memory O(vocabulary)
+    return _pack_df_task.remote(*dfds.to_arrow_refs())
+
+
+@ray.remote
+def _pack_df_task(*tables: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    live = [t for t in tables if t.num_rows]
+    terms = np.concatenate(
+        [t["term"].to_numpy(zero_copy_only=False) for t in live]
+    ) if live else np.empty(0, object)
+    dfs = np.concatenate(
+        [t["df"].to_numpy(zero_copy_only=False) for t in live]
+    ) if live else np.empty(0, np.int64)
     order = np.argsort(terms, kind="stable")  # searchsorted needs sorted terms
-    return ray.put((terms[order], dfs[order]))
+    return terms[order], dfs[order].astype(np.int64, copy=False)
 
 
 def _get_df(ref: "ray.ObjectRef") -> tuple[np.ndarray, np.ndarray]:

@@ -779,7 +779,11 @@ def ensure_ddq_golden(sf_dir: str, rel_err: float = 0.01) -> str:
     )
     gamma = (1.0 + rel_err) / (1.0 - rel_err)
     gamma_log = float(np.log(gamma))
-    bias = 1 << 20  # sign-encoding bias (extras.aggregates._DD_BIAS)
+    # sign-encoding bias sized from γ so |b| can never exceed it over
+    # the finite-double range (mirrors extras.aggregates._dd_bias; the
+    # bias cancels out of the representatives, so any sufficient value
+    # yields identical output)
+    bias = int(np.ceil(745.0 / gamma_log)) + 2
     counts: dict[str, dict[int, int]] = {}
     for et, v in zip(tbl["event_type"].to_pylist(), tbl["value"].to_pylist()):
         v = float(v)

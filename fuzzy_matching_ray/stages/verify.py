@@ -588,14 +588,48 @@ def _sorted_intersect_size(a: np.ndarray, b: np.ndarray) -> int:
 # by (config hash, store ref, gate flag) so a stale corpus can never be
 # scored; one live verifier per worker is the norm
 _WORKER_VERIFIERS: dict = {}
+_VERIFIER_LAST_USE: list[float] = [0.0]
+_VERIFIER_IDLE_TTL_S = 180.0
+_JANITOR_STARTED: list[bool] = [False]
+
+
+def _start_verifier_janitor() -> None:
+    """Daemon that drops the worker's cached verifier after the stage
+    goes idle.  The cache entry holds zero-copy numpy views into the
+    broadcast store, which pin the multi-GB object in the worker's
+    plasma quota for as long as the Python references live — without
+    eviction the LAST corpus's store stayed resident in every worker
+    that ever scored a batch (the actor-pool executor freed it on pool
+    teardown; stateless tasks have no teardown hook, so a TTL is the
+    eviction point)."""
+    if _JANITOR_STARTED[0]:
+        return
+    import threading
+    import time as _time
+
+    def _sweep() -> None:
+        while True:
+            _time.sleep(_VERIFIER_IDLE_TTL_S / 3.0)
+            if (
+                _WORKER_VERIFIERS
+                and _time.monotonic() - _VERIFIER_LAST_USE[0] > _VERIFIER_IDLE_TTL_S
+            ):
+                _WORKER_VERIFIERS.clear()
+
+    threading.Thread(target=_sweep, name="fmr-verifier-janitor", daemon=True).start()
+    _JANITOR_STARTED[0] = True
 
 
 def _worker_verifier(cfg_hash: str, cfg, store_ref, emit_gate: bool) -> "VerifierPool":
+    import time as _time
+
     key = (cfg_hash, store_ref.hex() if store_ref is not None else None, emit_gate)
+    _VERIFIER_LAST_USE[0] = _time.monotonic()
     v = _WORKER_VERIFIERS.get(key)
     if v is None:
         _WORKER_VERIFIERS.clear()
         v = _WORKER_VERIFIERS[key] = VerifierPool(cfg, store_ref, emit_gate)
+        _start_verifier_janitor()
     return v
 
 
@@ -839,7 +873,13 @@ class VerifierPool:
                 # become edges.  Reads 8 bytes/pair from the offsets
                 # array instead of two full shingle sets: on the
                 # bandwidth-bound exchange this is the cheapest cut.
-                lo_bound = cfg.edit_gate_low if use_edit else cfg.jaccard_threshold
+                # clamp: with edit_gate_low > jaccard_threshold the edit
+                # channel is dead but Jaccard edges must still survive
+                lo_bound = (
+                    min(cfg.edit_gate_low, cfg.jaccard_threshold)
+                    if use_edit
+                    else cfg.jaccard_threshold
+                )
                 ratio_ok = np.minimum(sz_a, sz_b) >= lo_bound * np.maximum(sz_a, sz_b)
                 # ratio-culled pairs are fully resolved (jac stays 0):
                 # drop them from BOTH the vectorized and per-pair paths

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from fuzzy_matching_ray.datagen import (
@@ -137,3 +139,31 @@ def test_person_gender_consistency():
         else:
             assert first in _EN_NAMES and middle in _EN_NAMES, (first, middle)
     assert saw_f and saw_m  # both genders actually generated
+
+
+def test_write_transcripts_stale_marker_cleanup(tmp_path):
+    """Regenerating with a different config must invalidate the OLD
+    config's marker too: the cleanup deletes the old shard files, so a
+    surviving marker would make a later call with the old config
+    silently return the wrong corpus."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fuzzy_matching_ray.datagen import TranscriptGenConfig, write_transcripts
+
+    root = str(tmp_path)
+
+    def n_rows(turns_dir: str) -> int:
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(turns_dir, "*.parquet"))
+        )
+
+    d = write_transcripts(root, TranscriptGenConfig(n_convs=30, seed=1))
+    rows_30 = n_rows(d)
+    write_transcripts(root, TranscriptGenConfig(n_convs=60, seed=1))
+    # third call with the FIRST config again: must regenerate (marker
+    # was invalidated), yielding the 30-conv corpus, not the 60-conv one
+    d3 = write_transcripts(root, TranscriptGenConfig(n_convs=30, seed=1))
+    assert n_rows(d3) == rows_30

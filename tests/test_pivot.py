@@ -210,3 +210,65 @@ def test_approx_quantiles_partition_independent(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_approx_quantiles_tiny_rel_err_sign_and_bound(ray_session):
+    """Small rel_err with tiny-magnitude values: the log-bucket index
+    |b| grows as 1/ln γ, so the sign-encoding bias must scale with it —
+    a fixed bias sign-flipped keys (negative p25 for an all-positive
+    domain) once rel_err dropped below ~7e-4."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.aggregates import approx_quantiles_sketch
+
+    vals = np.array([1e-120, 1e-120, 1.0, 10.0], np.float64)
+    rel = 1e-4
+    out = (
+        approx_quantiles_sketch(
+            rd.from_pandas(pd.DataFrame({"k": "a", "v": vals})),
+            key_col="k",
+            val_col="v",
+            rel_err=rel,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    # p25 = rank-1 value = 1e-120: must come back positive and tight
+    got = float(out.loc["a", "p25"])
+    assert got > 0
+    assert abs(got - 1e-120) <= rel * 1e-120 * 1.0000001
+    assert abs(float(out.loc["a", "p90"]) - 10.0) <= rel * 10.0 * 1.0000001
+
+
+def test_approx_quantiles_rel_err_validated(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.aggregates import approx_quantiles_sketch
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [1.0]}))
+    for bad in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="rel_err"):
+            approx_quantiles_sketch(ds, key_col="k", val_col="v", rel_err=bad)
+
+
+def test_quantile_bucket_assign_rejects_nulls(ray_session):
+    """Nulls would vanish from the cutpoint histogram but reach the
+    assignment pass as INT64_MIN garbage — the operator must fail
+    loudly instead (same contract as the float rejection)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fuzzy_matching_ray.extras.aggregates import quantile_bucket_assign
+
+    t = pa.table({"id": [1, 2, 3], "v": pa.array([10, None, 30], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        quantile_bucket_assign(
+            rd.from_arrow(t), id_col="id", val_col="v"
+        ).materialize()

@@ -118,3 +118,41 @@ def test_skew_sentinels_flow_and_exact_drop_metric(ray_session):
     real = df[df.channel != channel_code(SKEW_CHANNEL)]
     assert (real.dropped == 0).all()
     assert len(real) == 28 + 12
+
+def test_size_prefilter_clamped_to_jaccard_threshold(ray_session):
+    """A config with edit_gate_low ABOVE jaccard_threshold merely
+    deadens the edit channel — Jaccard edges must still come through.
+    The verify size-ratio prefilter once used edit_gate_low unclamped
+    as its bound, silently culling true-Jaccard edges whose size ratio
+    sat in [jaccard_threshold, edit_gate_low)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    # conv b = an 80% prefix of conv a: shingle containment puts true
+    # Jaccard ≈ 0.8 and size ratio ≈ 0.8 — above the 0.72 threshold,
+    # below the pathological 0.95 edit_gate_low
+    # non-repetitive text (repetition would collapse the DISTINCT
+    # shingle sets of the full text and its prefix onto each other)
+    import random
+
+    rnd = random.Random(7)
+    base = " ".join(
+        "w%04d%s" % (i, "abcdefgh"[rnd.randrange(8)]) for i in range(220)
+    )
+    cut = int(len(base) * 0.8)
+    rows = []
+    for cid, text in (("conv_a", base), ("conv_b", base[:cut]), ("conv_c", "entirely unrelated filler text about spreadsheets")):
+        for i, piece in enumerate([text[: len(text) // 2], text[len(text) // 2 :]]):
+            rows.append(
+                {"conv_id": cid, "turn_idx": i, "role": "user", "text": piece,
+                 "tool": "", "ts": 0}
+            )
+    turns = rd.from_arrow(pa.Table.from_pylist(rows))
+    for cfg in (
+        PipelineConfig(num_partitions=2, edit_accept_threshold=0.99, edit_gate_low=0.95),
+        PipelineConfig(num_partitions=2, edit_accept_threshold=0.0),
+    ):
+        edges = dedup_transcripts(turns, cfg).edges.to_pandas()
+        assert len(edges) >= 1, f"prefix-dup edge lost under {cfg.edit_gate_low=}"
