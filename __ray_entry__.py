@@ -916,6 +916,37 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+def _q_mix_sources(sf_dir: str):
+    """Mixture resampling WITH upsampling (the Pile/Llama recipe
+    shape): src0 at weight ~3.4 (3 copies + content-addressed 39.8 %
+    of a 4th), src1 downsampled to ~50 %, src2 at exactly 2, the rest
+    at ~1.1.  Deterministic md5 multiplicity, copies tagged
+    ``copy_idx`` — reproduced in SQL by ``unnest(range(n))`` over the
+    same md5-prefix compare."""
+    from fuzzy_matching_ray.extras.relational import weighted_mix
+
+    return weighted_mix(
+        _read(sf_dir, "documents").select_columns(["doc_id", "source", "text"]),
+        group_col="source",
+        weights={"src0": (3, "66"), "src1": (0, "80"), "src2": (2, "00")},
+        default_weight=(1, "19"),
+    )
+
+
+def _q_rollup_documents(sf_dir: str):
+    """Hierarchical ROLLUP(source, lang) char/row totals: leaf rows,
+    per-source subtotals and the grand total, all derived from one
+    combiner-first pass (raw rows never shuffle; see
+    extras/aggregates.grouped_rollup)."""
+    from fuzzy_matching_ray.extras.aggregates import grouped_rollup
+
+    return grouped_rollup(
+        _read(sf_dir, "documents").select_columns(["source", "lang", "n_chars"]),
+        key_cols=("source", "lang"),
+        value_col="n_chars",
+    )
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -1109,6 +1140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_event_bursts": _q_dedup_event_bursts,
         "session_stats": _q_session_stats,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
+        "mix_sources_documents": _q_mix_sources,
+        "rollup_documents": _q_rollup_documents,
     }
 
 
@@ -1688,6 +1721,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (w % 64)::BIGINT AS shard, "
             "(row_number() OVER (PARTITION BY w % 64 ORDER BY w, doc_id) - 1)::BIGINT AS pos "
             "FROM w"
+        ),
+        "mix_sources_documents": (
+            "WITH base AS (SELECT doc_id, source, text, "
+            "(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 0 "
+            "WHEN 'src2' THEN 2 ELSE 1 END "
+            "+ CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < "
+            "(CASE source WHEN 'src0' THEN '66' WHEN 'src1' THEN '80' "
+            "WHEN 'src2' THEN '00' ELSE '19' END) "
+            "THEN 1 ELSE 0 END)::BIGINT AS n FROM documents) "
+            "SELECT doc_id, source, text, "
+            "unnest(range(n))::BIGINT AS copy_idx FROM base"
+        ),
+        "rollup_documents": (
+            "SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sum_val, "
+            "count(*)::BIGINT AS n_rows "
+            "FROM documents GROUP BY ROLLUP (source, lang)"
         ),
         "top_tokens_per_lang": (
             "WITH t AS (SELECT lang, unnest(list_filter("

@@ -518,3 +518,101 @@ def approx_quantiles_sketch(
 
     partial = ds.map_batches(_partial, batch_format="pandas")
     return bucketed_group_apply(partial, "key", _final, num_partitions)
+
+
+def grouped_rollup(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: tuple[str, str] = ("source", "lang"),
+    value_col: str = "n_chars",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Hierarchical ``ROLLUP (k1, k2)`` totals — leaf ``(k1, k2)``
+    rows, ``k1`` subtotals (``k2`` NULL) and the grand total (both
+    NULL) — without ever re-reading the input or running a second
+    aggregate over raw rows.
+
+    One combiner-first pass: per-batch Arrow groupby reduces raw rows
+    to ``(k1, k2, sum, count)`` partials; ONE bucketed shuffle on
+    ``k1`` co-locates every ``k2`` under its ``k1``, so a single
+    vectorized bucket callback emits both the leaf rows and that
+    bucket's ``k1`` subtotals plus a per-bucket grand-total partial;
+    a second tiny exchange (rollup-output-sized, not data-sized)
+    merges the grand partials.  All levels therefore derive from the
+    same reduced partials — at 100 TB the raw data is read once and
+    only rollup-output-sized rows ever shuffle."""
+    k1, k2 = key_cols
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                k1: batch[k1],
+                k2: batch[k2],
+                "v": batch[value_col].cast(pa.int64()),
+            }
+        )
+        g = t.group_by([k1, k2]).aggregate([("v", "sum"), ("v", "count")])
+        return pa.table(
+            {
+                k1: g[k1],
+                k2: g[k2],
+                "sum_val": g["v_sum"].cast(pa.int64()),
+                "n_rows": g["v_count"].cast(pa.int64()),
+            }
+        )
+
+    agg = {"sum_val": ("sum_val", "sum"), "n_rows": ("n_rows", "sum")}
+
+    def _stable_keys(out: pd.DataFrame) -> pd.DataFrame:
+        # subtotal rows put None into the key columns; a bucket whose
+        # output keys are ALL None would otherwise infer a null-typed
+        # Arrow column that cannot union with string blocks from other
+        # buckets — pin object keys to pandas "string" dtype so every
+        # block converts to pa.string()
+        for c in (k1, k2):
+            if out[c].dtype == object:
+                out[c] = out[c].astype("string")
+        return out
+
+    def _per_k1(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a NULL key value in the DATA is its own group
+        # (SQL GROUP BY semantics), distinct from the subtotal NULLs
+        leaf = df.groupby([k1, k2], as_index=False, sort=False, dropna=False).agg(**agg)
+        leaf["__lvl"] = np.int8(0)
+        sub = df.groupby(k1, as_index=False, sort=False, dropna=False).agg(**agg)
+        sub[k2] = None
+        sub["__lvl"] = np.int8(1)
+        # per-bucket grand-total partial (merged in the second pass)
+        grand = pd.DataFrame(
+            {
+                k1: [None],
+                k2: [None],
+                "sum_val": [np.int64(df["sum_val"].sum())],
+                "n_rows": [np.int64(df["n_rows"].sum())],
+                "__lvl": [np.int8(2)],
+            }
+        )
+        order = [k1, k2, "sum_val", "n_rows", "__lvl"]
+        return _stable_keys(pd.concat([leaf[order], sub[order], grand], ignore_index=True))
+
+    def _merge_grand(df: pd.DataFrame) -> pd.DataFrame:
+        done = df[df["__lvl"] < 2].drop(columns="__lvl")
+        partials = df[df["__lvl"] == 2]
+        if len(partials):
+            total = pd.DataFrame(
+                {
+                    k1: [None],
+                    k2: [None],
+                    "sum_val": [np.int64(partials["sum_val"].sum())],
+                    "n_rows": [np.int64(partials["n_rows"].sum())],
+                }
+            )
+            done = pd.concat([done, total], ignore_index=True)
+        return _stable_keys(done)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    rolled = bucketed_group_apply(partial, k1, _per_k1, num_partitions)
+    # the merge exchange moves only rollup-OUTPUT-sized rows (distinct
+    # key combos + subtotals), never raw data — one task is the right
+    # size for a grand-total reduce at any input scale
+    return bucketed_group_apply(rolled, "__lvl", _merge_grand, 1)

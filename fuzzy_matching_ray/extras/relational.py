@@ -677,3 +677,59 @@ def stratified_sample(
         return pa.table({c: b[c].filter(keep) for c in cols})
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def weighted_mix(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    weights: dict[str, tuple[int, str]] | None = None,
+    default_weight: tuple[int, str] = (1, "00"),
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "source", "text"),
+) -> ray.data.Dataset:
+    """Deterministic mixture resampling WITH upsampling — the other
+    half of a training-data mixer (:func:`stratified_sample` is the
+    downsampling half).  Each row is emitted ``n + [md5_byte(id) <
+    frac_threshold]`` times where ``(n, frac_threshold)`` is its
+    group's weight: ``('wiki', (3, '66'))`` ≈ weight 3.4 (every wiki
+    doc 3×, plus a content-addressed 0x66/256 ≈ 39.8 % of them a 4th
+    time).  Repeats carry ``copy_idx`` 0..k-1 so downstream shuffles
+    keep the copies distinct.  Membership and multiplicity are pure
+    functions of ``(id, group)`` — stable across runs, partitionings
+    and engines, reproducible in SQL as a lateral ``generate_series``
+    over the same md5-prefix compare.  Zero shuffles; the expansion
+    happens inside each batch (Arrow ``take`` on a repeated index —
+    no per-row Python), so output blocks grow by at most
+    ``max(weight)+1`` and stream through backpressure like any other
+    map stage."""
+    weights = weights or {}
+    import string
+
+    for n_int, t in (*weights.values(), default_weight):
+        if n_int < 0:
+            raise ValueError(f"integer weight must be >= 0, got {n_int}")
+        if len(t) != 2 or any(ch not in string.digits + "abcdef" for ch in t):
+            raise ValueError(f"frac threshold must be 2 lowercase hex chars, got {t!r}")
+
+    def _expand(b: pa.Table) -> pa.Table:
+        from fuzzy_matching_ray.hashing import md5_leading_byte
+
+        byte = md5_leading_byte(b[id_col].to_pylist())
+        groups = b[group_col].to_numpy(zero_copy_only=False)
+        base = np.full(byte.size, default_weight[0], dtype=np.int64)
+        thr = np.full(byte.size, int(default_weight[1], 16), dtype=np.int16)
+        for g, (n_int, t) in weights.items():
+            sel = groups == g
+            base[sel] = n_int
+            thr[sel] = int(t, 16)
+        counts = base + (byte < thr)
+        idx = np.repeat(np.arange(byte.size, dtype=np.int64), counts)
+        # copy_idx = position within each row's run of repeats
+        starts = np.zeros(byte.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        copy_idx = np.arange(idx.size, dtype=np.int64) - starts[idx]
+        out = b.select(list(cols)).take(pa.array(idx))
+        return out.append_column("copy_idx", pa.array(copy_idx, pa.int64()))
+
+    return ds.map_batches(_expand, batch_format="pyarrow")

@@ -10,6 +10,7 @@ import examples.api_example as api_ex
 import examples.curate_example as curate_ex
 import examples.data_examples as data_ex
 import examples.dedup_example as dedup_ex
+import examples.mixing_example as mix_ex
 import examples.multimodal_example as mm_ex
 import examples.search_example as search_ex
 import examples.simple_example as simple_ex
@@ -28,6 +29,7 @@ import examples.transliteration_example as tr_ex
         (curate_ex, lambda r: 0 < r["n_out"] < r["n_in"]),
         (search_ex, lambda r: r["bm25_hits"] == 5 and r["knn_rows"] == 6),
         (mm_ex, lambda r: r["n_media"] == 8),
+        (mix_ex, lambda r: r["rollup_rows"] == 10),
     ],
     ids=lambda p: getattr(p, "__name__", "check"),
 )

@@ -272,3 +272,41 @@ def test_quantile_bucket_assign_rejects_nulls(ray_session):
         quantile_bucket_assign(
             rd.from_arrow(t), id_col="id", val_col="v"
         ).materialize()
+
+
+def test_grouped_rollup_matches_duckdb_rollup():
+    """Leaf rows + k1 subtotals + grand total must equal GROUP BY
+    ROLLUP as a multiset — including a NULL key present in the DATA
+    (its leaf row is distinct from the subtotal row only by value)."""
+    import duckdb
+    import numpy as np
+
+    from fuzzy_matching_ray.extras.aggregates import grouped_rollup
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "source": [f"s{i % 5}" for i in range(300)],
+            "lang": [None if i % 37 == 0 else ["en", "de", "zh"][i % 3] for i in range(300)],
+            "n_chars": rng.integers(1, 500, size=300),
+        }
+    )
+    out = grouped_rollup(
+        rd.from_pandas(df).repartition(6),
+        key_cols=("source", "lang"),
+        value_col="n_chars",
+        num_partitions=4,
+    ).to_pandas()
+    exp = duckdb.connect().execute(
+        "SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sum_val, "
+        "count(*)::BIGINT AS n_rows FROM df GROUP BY ROLLUP (source, lang)"
+    ).fetchdf()
+
+    def canon(d):
+        return sorted(
+            (str(a), str(b), int(s), int(n))
+            for a, b, s, n in zip(d.source, d.lang, d.sum_val, d.n_rows)
+        )
+
+    assert len(out) == len(exp)
+    assert canon(out) == canon(exp)

@@ -209,3 +209,41 @@ def test_stratified_sample_rates_and_determinism(ray_session):
 
     with pytest.raises(ValueError):
         stratified_sample(ds, rates={"en": "ZZ"})
+
+
+def test_weighted_mix_multiplicity_and_copy_idx(ray_session):
+    """Every row's emission count must equal the serial md5 contract
+    (int weight + fractional top-up), copies numbered 0..n-1."""
+    import hashlib
+
+    from fuzzy_matching_ray.extras.relational import weighted_mix
+
+    rows = [
+        {"doc_id": i, "source": ["a", "b", "c", "d"][i % 4], "text": f"t{i}"}
+        for i in range(400)
+    ]
+    weights = {"a": (3, "66"), "b": (0, "80"), "c": (2, "00")}
+    out = weighted_mix(
+        rd.from_items(rows).repartition(4),
+        group_col="source",
+        weights=weights,
+        default_weight=(1, "19"),
+        cols=("doc_id", "source", "text"),
+    ).to_pandas()
+    got = out.groupby("doc_id")["copy_idx"].agg(["count", "min", "max"])
+    for r in rows:
+        n_int, thr = weights.get(r["source"], (1, "19"))
+        frac = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2] < thr
+        expect = n_int + int(frac)
+        if expect == 0:
+            assert r["doc_id"] not in got.index
+        else:
+            g = got.loc[r["doc_id"]]
+            assert g["count"] == expect and g["min"] == 0 and g["max"] == expect - 1
+    # exact-integer weight: source c is exactly doubled
+    assert (out.source == "c").sum() == 2 * sum(r["source"] == "c" for r in rows)
+
+    with pytest.raises(ValueError):
+        weighted_mix(rd.from_items(rows), weights={"a": (1, "XX")})
+    with pytest.raises(ValueError):
+        weighted_mix(rd.from_items(rows), weights={"a": (-1, "00")})
