@@ -947,6 +947,27 @@ def _q_rollup_documents(sf_dir: str):
     )
 
 
+def _q_unigram_logfreq(sf_dir: str):
+    """Unigram-LM fluency score (corpus-statistics quality dimension):
+    mean ln(global token count) per doc — mean log-likelihood up to the
+    per-corpus ln(total) shift, so no global scalar is coordinated."""
+    from fuzzy_matching_ray.extras.tfidf import unigram_logfreq
+
+    return unigram_logfreq(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    )
+
+
+def _q_source_overlap(sf_dir: str):
+    """Which sources copy which: distinct shared word-trigram counts
+    per unordered source pair, pre-dedup content attribution."""
+    from fuzzy_matching_ray.extras.aggregates import source_ngram_overlap
+
+    return source_ngram_overlap(
+        _read(sf_dir, "documents").select_columns(["source", "text"]), n=3
+    )
+
+
 def _q_curate_documents(sf_dir: str):
     """Composed curation: fused quality+langid filter → exact dedup →
     content-addressed sample, all in one lazy Dataset plan.  The
@@ -1142,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "mix_sources_documents": _q_mix_sources,
         "rollup_documents": _q_rollup_documents,
+        "unigram_logfreq_documents": _q_unigram_logfreq,
+        "source_overlap_documents": _q_source_overlap,
     }
 
 
@@ -1737,6 +1760,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sum_val, "
             "count(*)::BIGINT AS n_rows "
             "FROM documents GROUP BY ROLLUP (source, lang)"
+        ),
+        "unigram_logfreq_documents": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
+            "FROM tok GROUP BY doc_id, term), "
+            "cnt AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term), "
+            "per_doc AS (SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens, "
+            "sum(tf.tf * ln(cnt.cnt)) AS s "
+            "FROM tf JOIN cnt USING (term) GROUP BY tf.doc_id) "
+            "SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens, "
+            "CASE WHEN p.n_tokens > 0 THEN p.s / p.n_tokens END AS logfreq "
+            "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
+        ),
+        "source_overlap_documents": (
+            "WITH toks AS (SELECT source, list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT source, "
+            "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g "
+            "FROM toks, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3) "
+            "SELECT a.source AS src_a, b.source AS src_b, "
+            "count(*)::BIGINT AS shared_ngrams "
+            "FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source "
+            "GROUP BY 1, 2"
         ),
         "top_tokens_per_lang": (
             "WITH t AS (SELECT lang, unnest(list_filter("

@@ -616,3 +616,81 @@ def grouped_rollup(
     # key combos + subtotals), never raw data — one task is the right
     # size for a grand-total reduce at any input scale
     return bucketed_group_apply(rolled, "__lvl", _merge_grand, 1)
+
+
+def source_ngram_overlap(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Cross-source content-overlap matrix: for every unordered source
+    pair ``(src_a < src_b)``, the number of DISTINCT word ``n``-grams
+    both sources contain — the curation report that says *which feeds
+    copy which* (mirror sites, syndication, template farms) before any
+    per-document dedup runs.  Exact-duplicate overlap is this matrix's
+    degenerate case; n-gram grain keeps it informative on corpora with
+    no verbatim dups.
+
+    Shuffle shape: the exchange carries one row per distinct
+    ``(ngram, source)`` per batch (never per occurrence); ONE bucketed
+    shuffle on ``hash(ngram)`` co-locates all sources of a gram, so
+    each bucket cross-joins its (tiny, ≤ n_sources) per-gram source
+    sets and emits pre-counted ``(src_a, src_b)`` partials; the final
+    exchange is sources²-sized.  Tokenization is the corpus-wide
+    lowercase whitespace contract (see ``extras/tfidf._tokens``), so
+    the SQL mirror joins on the literal gram strings."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def _grams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        ex = (
+            batch[text_col].fillna("").astype(str).str.lower().str.split().explode()
+        )
+        ex = ex[ex.notna() & (ex != "")]
+        empty = pd.DataFrame(
+            {"g": pd.Series([], dtype=object), "src": pd.Series([], dtype=object)}
+        )
+        if len(ex) < n:
+            return empty
+        toks = ex.to_numpy(dtype=object)
+        rows = ex.index.to_numpy(np.int64)
+        # gram i spans tokens [i, i+n); valid iff all in the same row
+        valid = rows[: len(rows) - n + 1] == rows[n - 1 :]
+        if not valid.any():
+            return empty
+        parts = [pd.Series(toks[k : len(toks) - n + 1 + k][valid]) for k in range(n)]
+        g = parts[0].str.cat(parts[1:], sep=" ") if n > 1 else parts[0]
+        src = batch[group_col].to_numpy(dtype=object)[rows[: len(rows) - n + 1][valid]]
+        return pd.DataFrame({"g": g.to_numpy(dtype=object), "src": src}).drop_duplicates()
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()  # batch-level distinct -> global distinct
+        m = d.merge(d, on="g")
+        m = m[m["src_x"] < m["src_y"]]
+        out = (
+            m.groupby(["src_x", "src_y"], sort=False)
+            .size()
+            .rename("shared_ngrams")
+            .reset_index()
+            .rename(columns={"src_x": "src_a", "src_y": "src_b"})
+        )
+        out["shared_ngrams"] = out["shared_ngrams"].astype(np.int64)
+        return out
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src_a", "src_b"], sort=False, as_index=False)[
+            "shared_ngrams"
+        ].sum()
+        out["shared_ngrams"] = out["shared_ngrams"].astype(np.int64)
+        return out
+
+    partial = ds.select_columns([group_col, text_col]).map_batches(
+        _grams, batch_format="pandas"
+    )
+    counted = bucketed_group_apply(partial, "g", _pairs, num_partitions)
+    # final exchange is sources^2-sized regardless of corpus size
+    return bucketed_group_apply(counted, "src_a", _sum, min(num_partitions, 8))

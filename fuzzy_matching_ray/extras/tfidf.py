@@ -80,20 +80,25 @@ def _tokens(texts: pd.Series) -> pd.Series:
 
 
 def _df_aggregate(
-    ds: ray.data.Dataset, text_col: str, num_partitions: int = 32
+    ds: ray.data.Dataset, text_col: str, num_partitions: int = 32, counts: bool = False
 ) -> ray.data.Dataset:
     """Distributed ``(term, df)`` aggregation: map-side partial
     (distinct tokens per doc, counted per batch) + ONE term-hash
     bucketed shuffle with a vectorized per-bucket sum — the reduce is
     sharded into ``num_partitions`` tasks of ~vocab/P state each,
-    never one vocabulary-sized task."""
+    never one vocabulary-sized task.  ``counts=True`` aggregates raw
+    OCCURRENCE counts instead of document frequency (same exchange
+    shape — one row per distinct token per batch)."""
 
     def _partial(batch: pd.DataFrame) -> pa.Table:
         ex = _tokens(batch[text_col])
         if ex.empty:
             return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-        dd = pd.DataFrame({"r": ex.index.to_numpy(), "t": ex.to_numpy(dtype=object)})
-        vc = dd.drop_duplicates()["t"].value_counts()
+        if counts:
+            vc = ex.value_counts()
+        else:
+            dd = pd.DataFrame({"r": ex.index.to_numpy(), "t": ex.to_numpy(dtype=object)})
+            vc = dd.drop_duplicates()["t"].value_counts()
         return pa.table(
             {
                 "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
@@ -116,6 +121,7 @@ def _resolve_df_mode(
     df_mode: str,
     broadcast_max_terms: int,
     num_partitions: int = 32,
+    counts: bool = False,
 ) -> "ray.ObjectRef | None":
     """``None`` → run bucketed; otherwise the broadcast ObjectRef of
     ``(terms_sorted, df)``.  The vocabulary only ever reaches one
@@ -124,7 +130,7 @@ def _resolve_df_mode(
         return None
     if df_mode not in ("auto", "broadcast"):
         raise ValueError(f"df_mode must be auto|broadcast|bucketed, got {df_mode!r}")
-    dfds = _df_aggregate(ds, text_col, num_partitions).materialize()
+    dfds = _df_aggregate(ds, text_col, num_partitions, counts=counts).materialize()
     n_terms = dfds.count()
     if n_terms == 0:  # token-less corpus: empty probe arrays
         return ray.put((np.empty(0, object), np.empty(0, np.int64)))
@@ -408,5 +414,104 @@ def rare_token_stats(
         for c in ("n_tokens", "n_rare", "n_distinct_rare"):
             out.loc[r, c] = agg[c].to_numpy(np.int64)
         return out
+
+    return slim.map_batches(_probe, batch_format="pandas")
+
+
+def unigram_logfreq(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_mode: str = "auto",
+    broadcast_max_terms: int = 5_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Unigram-LM fluency score per document — the corpus-statistics
+    quality dimension (the CCNet/Gopher "LM score" shape, with the
+    corpus itself as the model): ``(doc_id, n_tokens, logfreq)`` where
+    ``logfreq = Σ_tokens ln(cnt(token)) / n_tokens`` and ``cnt`` is the
+    token's global OCCURRENCE count.  The true mean log-probability is
+    ``logfreq − ln(total_tokens)`` — a per-corpus constant shift, so
+    ranking/filtering on ``logfreq`` is ranking on unigram
+    log-likelihood without any global-scalar coordination (the same
+    trick :func:`tfidf_top_terms` uses to avoid corpus size N).  Low
+    values flag mojibake / OCR noise / codegen junk built from rare
+    vocabulary; high values flag boilerplate built from stopwords.
+    Token-less docs get ``n_tokens = 0, logfreq = NULL``.
+
+    Same broadcast/bucketed scale modes as :func:`tfidf_top_terms`
+    (the broadcast table is ``(term, cnt)`` instead of ``(term, df)``);
+    ``ln`` is evaluated only on integer counts, and the one division
+    per doc is exactly rounded, so the SQL mirror hashes identically
+    up to float-sum reassociation far below the 9-significant-digit
+    compare.
+
+    Reference anchor: extends the static per-field weights of
+    ``core/data_matcher.py`` to corpus-derived likelihoods — the
+    quality-scoring form a curation pipeline needs at scale."""
+    slim = ds.select_columns([id_col, text_col])
+    cnt_ref = _resolve_df_mode(
+        slim, text_col, df_mode, broadcast_max_terms, num_partitions, counts=True
+    )
+
+    if cnt_ref is None:
+        # bucketed: every row of a term is in one bucket, so the global
+        # occurrence count is the bucket-local tf sum; ln attaches in
+        # the term shuffle, the doc shuffle just sums
+        def _mark(df: pd.DataFrame) -> pd.DataFrame:
+            cnt = df.groupby("term", sort=False)["tf"].transform("sum").to_numpy(np.int64)
+            tf = df["tf"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    "n_tokens": tf,
+                    "s": tf.astype(np.float64) * np.log(cnt.astype(np.float64)),
+                }
+            )
+
+        marked = bucketed_group_apply(
+            _doc_tf_rows(slim, id_col, text_col), "term", _mark, num_partitions
+        )
+
+        def _zeros(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "n_tokens": np.zeros(len(batch), np.int64),
+                    "s": np.zeros(len(batch), np.float64),
+                }
+            )
+
+        zero_rows = slim.map_batches(_zeros, batch_format="pandas")
+
+        def _fin(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(id_col, sort=False, as_index=False)[["n_tokens", "s"]].sum()
+            n = g["n_tokens"].to_numpy(np.int64)
+            with np.errstate(invalid="ignore"):
+                lf = np.where(n > 0, g["s"].to_numpy(np.float64) / n, np.nan)
+            return pd.DataFrame(
+                {id_col: g[id_col].to_numpy(), "n_tokens": n, "logfreq": lf}
+            )
+
+        return bucketed_group_apply(marked.union(zero_rows), id_col, _fin, num_partitions)
+
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)  # 'r' must be positional
+        terms_sorted, cnts = _get_df(cnt_ref)
+        tf = _doc_tf(batch, text_col)
+        ids = batch[id_col].to_numpy()
+        n = np.zeros(len(ids), np.int64)
+        s = np.zeros(len(ids), np.float64)
+        if not tf.empty:
+            pos = np.searchsorted(terms_sorted, tf["term"].to_numpy(dtype=object))
+            tfv = tf["tf"].to_numpy(np.int64)
+            contrib = tfv.astype(np.float64) * np.log(cnts[pos].astype(np.float64))
+            r = tf["r"].to_numpy(np.int64)
+            np.add.at(n, r, tfv)
+            np.add.at(s, r, contrib)
+        with np.errstate(invalid="ignore"):
+            lf = np.where(n > 0, s / n, np.nan)
+        return pd.DataFrame({id_col: ids, "n_tokens": n, "logfreq": lf})
 
     return slim.map_batches(_probe, batch_format="pandas")

@@ -310,3 +310,48 @@ def test_grouped_rollup_matches_duckdb_rollup():
 
     assert len(out) == len(exp)
     assert canon(out) == canon(exp)
+
+
+def test_source_ngram_overlap_matches_duckdb(ray_session):
+    """Shared-trigram counts per source pair must equal the SQL string
+    join; short docs (< n tokens) contribute nothing."""
+    import duckdb
+
+    from fuzzy_matching_ray.extras.aggregates import source_ngram_overlap
+
+    df = pd.DataFrame(
+        {
+            "source": ["a"] * 4 + ["b"] * 4 + ["c"] * 2,
+            "text": [
+                "the quick brown fox jumps",
+                "pack my box with five dozen",
+                "the quick brown cat",
+                "to be",  # too short for trigrams
+                "THE QUICK BROWN fox ran",  # case-folds into overlap with a
+                "pack my box tightly",
+                "lorem ipsum dolor sit",
+                "",
+                "lorem ipsum dolor amet",
+                "the quick brown fox jumps again",
+            ],
+        }
+    )
+    out = (
+        source_ngram_overlap(rd.from_pandas(df).repartition(4), n=3, num_partitions=4)
+        .to_pandas()
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        "WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(text), "
+        "'\\s+'), x -> x <> '') AS w FROM df), "
+        "grams AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g "
+        "FROM toks, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3) "
+        "SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared_ngrams "
+        "FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchdf()
+    assert out.to_dict("records") == exp.to_dict("records")
+    # sanity on the fixture itself: a∩b from two gram families, a∩c large
+    got = {(r.src_a, r.src_b): r.shared_ngrams for r in out.itertuples()}
+    assert got[("a", "b")] >= 3 and got[("a", "c")] >= 3

@@ -131,3 +131,37 @@ def test_broadcast_cap_is_loud():
         tfidf_top_terms(ds, df_mode="broadcast", broadcast_max_terms=2).to_pandas()
     out = tfidf_top_terms(ds, df_mode="auto", broadcast_max_terms=2).to_pandas()
     assert set(out["doc_id"]) == {0, 1}
+
+
+def test_unigram_logfreq_serial_golden_and_modes():
+    """Score must equal the serial per-doc mean ln(corpus count) in
+    BOTH scale modes; token-less docs get n_tokens=0 / NULL score."""
+    import math
+
+    import numpy as np
+
+    from fuzzy_matching_ray.extras.tfidf import unigram_logfreq
+
+    ds = _ds().repartition(3)
+    # serial golden
+    toks = {d: t.lower().split() for d, t in DOCS}
+    cnt: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+
+    for mode in ("broadcast", "bucketed"):
+        out = (
+            unigram_logfreq(ds, df_mode=mode)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert len(out) == len(DOCS)
+        for d, ts in toks.items():
+            assert out.loc[d, "n_tokens"] == len(ts)
+            if ts:
+                want = sum(math.log(cnt[t]) for t in ts) / len(ts)
+                assert abs(out.loc[d, "logfreq"] - want) < 1e-12
+            else:
+                assert np.isnan(out.loc[d, "logfreq"])
