@@ -12,6 +12,7 @@ import examples.data_examples as data_ex
 import examples.dedup_example as dedup_ex
 import examples.mixing_example as mix_ex
 import examples.multimodal_example as mm_ex
+import examples.quality_example as qual_ex
 import examples.search_example as search_ex
 import examples.simple_example as simple_ex
 import examples.transliteration_example as tr_ex
@@ -30,6 +31,7 @@ import examples.transliteration_example as tr_ex
         (search_ex, lambda r: r["bm25_hits"] == 5 and r["knn_rows"] == 6),
         (mm_ex, lambda r: r["n_media"] == 8),
         (mix_ex, lambda r: r["rollup_rows"] == 10),
+        (qual_ex, lambda r: r["worst_source"] == "scan" and r["overlap_pairs"] == 3),
     ],
     ids=lambda p: getattr(p, "__name__", "check"),
 )
