@@ -544,6 +544,19 @@ def grouped_rollup(
     k1, k2 = key_cols
 
     def _partial(batch: pa.Table) -> pa.Table:
+        for c in (k1, k2):
+            # subtotal rows put NULL into the key columns and
+            # _stable_keys pins object keys to pa.string(); a non-string
+            # key would leave leaf blocks in the native dtype and
+            # subtotal blocks as string — an un-unionable mix.  Loud
+            # beats latent: require string keys (cast upstream).
+            if not (
+                pa.types.is_string(batch[c].type) or pa.types.is_large_string(batch[c].type)
+            ):
+                raise ValueError(
+                    f"grouped_rollup requires string key columns; {c!r} is "
+                    f"{batch[c].type} — cast it upstream"
+                )
         t = pa.table(
             {
                 k1: batch[k1],

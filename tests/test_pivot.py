@@ -355,3 +355,18 @@ def test_source_ngram_overlap_matches_duckdb(ray_session):
     # sanity on the fixture itself: a∩b from two gram families, a∩c large
     got = {(r.src_a, r.src_b): r.shared_ngrams for r in out.itertuples()}
     assert got[("a", "b")] >= 3 and got[("a", "c")] >= 3
+
+
+def test_grouped_rollup_rejects_nonstring_keys(ray_session):
+    """Integer keys would union-fail between leaf and subtotal blocks
+    downstream — the operator must refuse them loudly up front."""
+    import pyarrow as pa
+    import pytest
+
+    from fuzzy_matching_ray.extras.aggregates import grouped_rollup
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"], "v": [3, 4]})
+    with pytest.raises(Exception, match="string key columns"):
+        grouped_rollup(
+            rd.from_arrow(t), key_cols=("a", "b"), value_col="v"
+        ).materialize()
