@@ -30,14 +30,16 @@ def main() -> dict:
         df["n_chars"] = df.text.str.len()
         ds = rd.from_pandas(df)
 
-        # wiki ~2.4x, web kept ~50%, forums exactly 1x
-        mixed = weighted_mix(
+        # wiki ~2.4x, web kept ~50%, forums exactly 1x; carry lang and
+        # n_chars through so the rollup below reports the MIXED output
+        mixed_ds = weighted_mix(
             ds,
             group_col="source",
             weights={"wiki": (2, "66"), "web": (0, "80")},
             default_weight=(1, "00"),
-            cols=("doc_id", "source", "text"),
-        ).to_pandas()
+            cols=("doc_id", "source", "lang", "text", "n_chars"),
+        )
+        mixed = mixed_ds.to_pandas()
         by_src = mixed.groupby("source").size().to_dict()
         print_table(
             [{"source": s, "docs_out": n} for s, n in sorted(by_src.items())],
@@ -47,15 +49,18 @@ def main() -> dict:
         assert by_src["forums"] == 200 and by_src["wiki"] > 400 and by_src["web"] < 140
 
         rolled = grouped_rollup(
-            ds, key_cols=("source", "lang"), value_col="n_chars"
+            mixed_ds, key_cols=("source", "lang"), value_col="n_chars"
         ).to_pandas()
         print_table(
             rolled.sort_values(["source", "lang"], na_position="last").to_dict("records"),
             limit=10,
-            title="rollup(source, lang)",
+            title="rollup(source, lang) of the MIXED output",
         )
-        # 6 leaf + 3 subtotal + 1 grand
+        # 6 leaf + 3 subtotal + 1 grand; the grand total counts every
+        # emitted copy, not the 600 input docs
         assert len(rolled) == 10
+        grand = rolled[rolled.source.isna() & rolled.lang.isna()]
+        assert int(grand.n_rows.iloc[0]) == len(mixed) > 600
         return {"mix_by_source": by_src, "rollup_rows": len(rolled)}
     finally:
         finish_ray(owned)

@@ -24,7 +24,7 @@ def main() -> dict:
         rows = []
         for i in range(240):
             src = ["wiki", "web", "scan"][i % 3]
-            if src == "scan" and i % 6 == 3:
+            if src == "scan" and i % 6 == 5:
                 # OCR-noise docs: tokens nothing else uses
                 t = " ".join(f"x{rng.integers(1e6)}q" for _ in range(12))
             else:

@@ -540,41 +540,50 @@ def grouped_rollup(
     a second tiny exchange (rollup-output-sized, not data-sized)
     merges the grand partials.  All levels therefore derive from the
     same reduced partials — at 100 TB the raw data is read once and
-    only rollup-output-sized rows ever shuffle."""
+    only rollup-output-sized rows ever shuffle.
+
+    SQL parity details: ``n_rows`` is ``count(*)`` (rows with a NULL
+    value still count), ``sum_val`` is SQL ``sum`` (NULLs skipped,
+    NULL when a group is all-NULL), and an empty input still emits
+    the grand-total grouping-set row ``(NULL, NULL, NULL, 0)``."""
     k1, k2 = key_cols
 
     def _partial(batch: pa.Table) -> pa.Table:
+        keys = {}
         for c in (k1, k2):
+            col = batch[c]
+            if pa.types.is_dictionary(col.type):
+                col = col.cast(col.type.value_type)  # parquet dict-encoding
             # subtotal rows put NULL into the key columns and
             # _stable_keys pins object keys to pa.string(); a non-string
             # key would leave leaf blocks in the native dtype and
             # subtotal blocks as string — an un-unionable mix.  Loud
-            # beats latent: require string keys (cast upstream).
-            if not (
-                pa.types.is_string(batch[c].type) or pa.types.is_large_string(batch[c].type)
-            ):
+            # beats latent: require (logically) string keys.
+            if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
                 raise ValueError(
                     f"grouped_rollup requires string key columns; {c!r} is "
                     f"{batch[c].type} — cast it upstream"
                 )
+            keys[c] = col
         t = pa.table(
             {
-                k1: batch[k1],
-                k2: batch[k2],
+                k1: keys[k1],
+                k2: keys[k2],
                 "v": batch[value_col].cast(pa.int64()),
+                "one": pa.array(np.ones(len(batch), np.int64)),
             }
         )
-        g = t.group_by([k1, k2]).aggregate([("v", "sum"), ("v", "count")])
+        # ("one","sum") = count(*); ("v","sum") skips NULL values and is
+        # NULL for an all-NULL group — both exactly SQL's aggregates
+        g = t.group_by([k1, k2]).aggregate([("v", "sum"), ("one", "sum")])
         return pa.table(
             {
                 k1: g[k1],
                 k2: g[k2],
                 "sum_val": g["v_sum"].cast(pa.int64()),
-                "n_rows": g["v_count"].cast(pa.int64()),
+                "n_rows": g["one_sum"].cast(pa.int64()),
             }
         )
-
-    agg = {"sum_val": ("sum_val", "sum"), "n_rows": ("n_rows", "sum")}
 
     def _stable_keys(out: pd.DataFrame) -> pd.DataFrame:
         # subtotal rows put None into the key columns; a bucket whose
@@ -587,12 +596,26 @@ def grouped_rollup(
                 out[c] = out[c].astype("string")
         return out
 
+    def _norm_vals(df: pd.DataFrame) -> pd.DataFrame:
+        # a NULL sum_val rides Arrow int64; pandas rehydrates it as
+        # float64+NaN — pin to nullable Int64 so arithmetic stays exact
+        # and NULL groups stay NULL (min_count=1 below)
+        df = df.copy()
+        df["sum_val"] = df["sum_val"].astype("Int64")
+        df["n_rows"] = df["n_rows"].astype(np.int64)
+        return df
+
     def _per_k1(df: pd.DataFrame) -> pd.DataFrame:
+        df = _norm_vals(df)
         # dropna=False: a NULL key value in the DATA is its own group
         # (SQL GROUP BY semantics), distinct from the subtotal NULLs
-        leaf = df.groupby([k1, k2], as_index=False, sort=False, dropna=False).agg(**agg)
+        gb = df.groupby([k1, k2], as_index=False, sort=False, dropna=False)
+        leaf = gb["sum_val"].sum(min_count=1)
+        leaf["n_rows"] = gb["n_rows"].sum()["n_rows"].to_numpy(np.int64)
         leaf["__lvl"] = np.int8(0)
-        sub = df.groupby(k1, as_index=False, sort=False, dropna=False).agg(**agg)
+        gb1 = df.groupby(k1, as_index=False, sort=False, dropna=False)
+        sub = gb1["sum_val"].sum(min_count=1)
+        sub["n_rows"] = gb1["n_rows"].sum()["n_rows"].to_numpy(np.int64)
         sub[k2] = None
         sub["__lvl"] = np.int8(1)
         # per-bucket grand-total partial (merged in the second pass)
@@ -600,7 +623,7 @@ def grouped_rollup(
             {
                 k1: [None],
                 k2: [None],
-                "sum_val": [np.int64(df["sum_val"].sum())],
+                "sum_val": pd.array([df["sum_val"].sum(min_count=1)], dtype="Int64"),
                 "n_rows": [np.int64(df["n_rows"].sum())],
                 "__lvl": [np.int8(2)],
             }
@@ -609,26 +632,39 @@ def grouped_rollup(
         return _stable_keys(pd.concat([leaf[order], sub[order], grand], ignore_index=True))
 
     def _merge_grand(df: pd.DataFrame) -> pd.DataFrame:
+        df = _norm_vals(df)
         done = df[df["__lvl"] < 2].drop(columns="__lvl")
         partials = df[df["__lvl"] == 2]
-        if len(partials):
-            total = pd.DataFrame(
-                {
-                    k1: [None],
-                    k2: [None],
-                    "sum_val": [np.int64(partials["sum_val"].sum())],
-                    "n_rows": [np.int64(partials["n_rows"].sum())],
-                }
-            )
-            done = pd.concat([done, total], ignore_index=True)
-        return _stable_keys(done)
+        total = pd.DataFrame(
+            {
+                k1: [None],
+                k2: [None],
+                "sum_val": pd.array([partials["sum_val"].sum(min_count=1)], dtype="Int64"),
+                "n_rows": [np.int64(partials["n_rows"].sum())],
+            }
+        )
+        return _stable_keys(pd.concat([done, total], ignore_index=True))
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
     rolled = bucketed_group_apply(partial, k1, _per_k1, num_partitions)
+    # seed one NULL-sum/zero-count level-2 partial so the grand-total
+    # grouping set exists even on an empty (or fully filtered) input —
+    # it is the sum identity whenever real partials exist
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                k1: pa.array([None], pa.string()),
+                k2: pa.array([None], pa.string()),
+                "sum_val": pa.array([None], pa.int64()),
+                "n_rows": pa.array([0], pa.int64()),
+                "__lvl": pa.array([2], pa.int8()),
+            }
+        )
+    )
     # the merge exchange moves only rollup-OUTPUT-sized rows (distinct
     # key combos + subtotals), never raw data — one task is the right
     # size for a grand-total reduce at any input scale
-    return bucketed_group_apply(rolled, "__lvl", _merge_grand, 1)
+    return bucketed_group_apply(rolled.union(seed), "__lvl", _merge_grand, 1)
 
 
 def source_ngram_overlap(

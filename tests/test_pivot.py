@@ -274,10 +274,11 @@ def test_quantile_bucket_assign_rejects_nulls(ray_session):
         ).materialize()
 
 
-def test_grouped_rollup_matches_duckdb_rollup():
+def test_grouped_rollup_matches_duckdb_rollup(ray_session):
     """Leaf rows + k1 subtotals + grand total must equal GROUP BY
     ROLLUP as a multiset — including a NULL key present in the DATA
-    (its leaf row is distinct from the subtotal row only by value)."""
+    (its leaf row is distinct from the subtotal row only by value)
+    and NULL VALUES (count(*) counts them; sum skips them)."""
     import duckdb
     import numpy as np
 
@@ -288,7 +289,7 @@ def test_grouped_rollup_matches_duckdb_rollup():
         {
             "source": [f"s{i % 5}" for i in range(300)],
             "lang": [None if i % 37 == 0 else ["en", "de", "zh"][i % 3] for i in range(300)],
-            "n_chars": rng.integers(1, 500, size=300),
+            "n_chars": [None if i % 23 == 0 else int(v) for i, v in enumerate(rng.integers(1, 500, size=300))],
         }
     )
     out = grouped_rollup(
@@ -370,3 +371,37 @@ def test_grouped_rollup_rejects_nonstring_keys(ray_session):
         grouped_rollup(
             rd.from_arrow(t), key_cols=("a", "b"), value_col="v"
         ).materialize()
+
+
+def test_grouped_rollup_empty_and_dict_keys(ray_session):
+    """SQL parity on empty input (ROLLUP still emits the grand
+    grouping-set row: NULL keys, NULL sum, count 0) and acceptance of
+    parquet dictionary-encoded string keys."""
+    import pyarrow as pa
+
+    from fuzzy_matching_ray.extras.aggregates import grouped_rollup
+
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    out = grouped_rollup(rd.from_arrow(empty), num_partitions=2).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert pd.isna(row.source) and pd.isna(row.lang) and pd.isna(row.sum_val)
+    assert row.n_rows == 0
+
+    dicted = pa.table(
+        {
+            "source": pa.array(["a", "a", "b"]).dictionary_encode(),
+            "lang": pa.array(["en", "de", "en"]).dictionary_encode(),
+            "n_chars": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    out = grouped_rollup(rd.from_arrow(dicted), num_partitions=2).to_pandas()
+    assert len(out) == 6  # 3 leaf + 2 sub + 1 grand
+    grand = out[out.source.isna() & out.lang.isna()]
+    assert int(grand.sum_val.iloc[0]) == 7 and int(grand.n_rows.iloc[0]) == 3
