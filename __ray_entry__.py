@@ -947,6 +947,19 @@ def _q_rollup_documents(sf_dir: str):
     )
 
 
+def _q_cube_documents(sf_dir: str):
+    """Full CUBE(source, lang) char/row totals: all four grouping
+    sets from ONE combiner pass over the raw rows (the reduced
+    partials shuffle twice; see extras/aggregates.grouped_cube)."""
+    from fuzzy_matching_ray.extras.aggregates import grouped_cube
+
+    return grouped_cube(
+        _read(sf_dir, "documents").select_columns(["source", "lang", "n_chars"]),
+        key_cols=("source", "lang"),
+        value_col="n_chars",
+    )
+
+
 def _q_unigram_logfreq(sf_dir: str):
     """Unigram-LM fluency score (corpus-statistics quality dimension):
     mean ln(global token count) per doc — mean log-likelihood up to the
@@ -1165,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_documents": _q_rollup_documents,
         "unigram_logfreq_documents": _q_unigram_logfreq,
         "source_overlap_documents": _q_source_overlap,
+        "cube_documents": _q_cube_documents,
     }
 
 
@@ -1760,6 +1774,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sum_val, "
             "count(*)::BIGINT AS n_rows "
             "FROM documents GROUP BY ROLLUP (source, lang)"
+        ),
+        "cube_documents": (
+            "SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sum_val, "
+            "count(*)::BIGINT AS n_rows "
+            "FROM documents GROUP BY CUBE (source, lang)"
         ),
         "unigram_logfreq_documents": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("

@@ -520,6 +520,90 @@ def approx_quantiles_sketch(
     return bucketed_group_apply(partial, "key", _final, num_partitions)
 
 
+def _cube_partial_fn(k1: str, k2: str, value_col: str):
+    """Per-batch Arrow combiner shared by :func:`grouped_rollup` and
+    :func:`grouped_cube`: raw rows → ``(k1, k2, sum_val, n_rows)``
+    partials (``n_rows`` = count(*), ``sum_val`` SQL-sum semantics)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = {}
+        for c in (k1, k2):
+            col = batch[c]
+            if pa.types.is_dictionary(col.type):
+                col = col.cast(col.type.value_type)  # parquet dict-encoding
+            # subtotal rows put NULL into the key columns and
+            # _cube_stable_keys pins object keys to pa.string(); a
+            # non-string key would leave leaf blocks in the native dtype
+            # and subtotal blocks as string — an un-unionable mix.  Loud
+            # beats latent: require (logically) string keys.
+            if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+                raise ValueError(
+                    f"grouped_rollup/cube requires string key columns; {c!r} is "
+                    f"{batch[c].type} — cast it upstream"
+                )
+            keys[c] = col
+        t = pa.table(
+            {
+                k1: keys[k1],
+                k2: keys[k2],
+                "v": batch[value_col].cast(pa.int64()),
+                "one": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        # ("one","sum") = count(*); ("v","sum") skips NULL values and is
+        # NULL for an all-NULL group — both exactly SQL's aggregates
+        g = t.group_by([k1, k2]).aggregate([("v", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                k1: g[k1],
+                k2: g[k2],
+                "sum_val": g["v_sum"].cast(pa.int64()),
+                "n_rows": g["one_sum"].cast(pa.int64()),
+            }
+        )
+
+    return _partial
+
+
+def _cube_stable_keys(out: pd.DataFrame, k1: str, k2: str) -> pd.DataFrame:
+    # subtotal rows put None into the key columns; a bucket whose
+    # output keys are ALL None would otherwise infer a null-typed
+    # Arrow column that cannot union with string blocks from other
+    # buckets — pin object keys to pandas "string" dtype so every
+    # block converts to pa.string()
+    for c in (k1, k2):
+        if out[c].dtype == object:
+            out[c] = out[c].astype("string")
+    return out
+
+
+def _cube_norm_vals(df: pd.DataFrame) -> pd.DataFrame:
+    # a NULL sum_val rides Arrow int64; pandas rehydrates it as
+    # float64+NaN — pin to nullable Int64 so arithmetic stays exact
+    # and NULL groups stay NULL (min_count=1 at the aggregations)
+    df = df.copy()
+    df["sum_val"] = df["sum_val"].astype("Int64")
+    df["n_rows"] = df["n_rows"].astype(np.int64)
+    return df
+
+
+def _cube_grand_seed(k1: str, k2: str) -> ray.data.Dataset:
+    """One NULL-sum/zero-count level-2 partial: guarantees the
+    grand-total grouping-set row exists even on an empty input (it is
+    the sum identity whenever real partials exist)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                k1: pa.array([None], pa.string()),
+                k2: pa.array([None], pa.string()),
+                "sum_val": pa.array([None], pa.int64()),
+                "n_rows": pa.array([0], pa.int64()),
+                "__lvl": pa.array([2], pa.int8()),
+            }
+        )
+    )
+
+
 def grouped_rollup(
     ds: ray.data.Dataset,
     *,
@@ -547,63 +631,12 @@ def grouped_rollup(
     NULL when a group is all-NULL), and an empty input still emits
     the grand-total grouping-set row ``(NULL, NULL, NULL, 0)``."""
     k1, k2 = key_cols
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        keys = {}
-        for c in (k1, k2):
-            col = batch[c]
-            if pa.types.is_dictionary(col.type):
-                col = col.cast(col.type.value_type)  # parquet dict-encoding
-            # subtotal rows put NULL into the key columns and
-            # _stable_keys pins object keys to pa.string(); a non-string
-            # key would leave leaf blocks in the native dtype and
-            # subtotal blocks as string — an un-unionable mix.  Loud
-            # beats latent: require (logically) string keys.
-            if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
-                raise ValueError(
-                    f"grouped_rollup requires string key columns; {c!r} is "
-                    f"{batch[c].type} — cast it upstream"
-                )
-            keys[c] = col
-        t = pa.table(
-            {
-                k1: keys[k1],
-                k2: keys[k2],
-                "v": batch[value_col].cast(pa.int64()),
-                "one": pa.array(np.ones(len(batch), np.int64)),
-            }
-        )
-        # ("one","sum") = count(*); ("v","sum") skips NULL values and is
-        # NULL for an all-NULL group — both exactly SQL's aggregates
-        g = t.group_by([k1, k2]).aggregate([("v", "sum"), ("one", "sum")])
-        return pa.table(
-            {
-                k1: g[k1],
-                k2: g[k2],
-                "sum_val": g["v_sum"].cast(pa.int64()),
-                "n_rows": g["one_sum"].cast(pa.int64()),
-            }
-        )
+    _partial = _cube_partial_fn(k1, k2, value_col)
 
     def _stable_keys(out: pd.DataFrame) -> pd.DataFrame:
-        # subtotal rows put None into the key columns; a bucket whose
-        # output keys are ALL None would otherwise infer a null-typed
-        # Arrow column that cannot union with string blocks from other
-        # buckets — pin object keys to pandas "string" dtype so every
-        # block converts to pa.string()
-        for c in (k1, k2):
-            if out[c].dtype == object:
-                out[c] = out[c].astype("string")
-        return out
+        return _cube_stable_keys(out, k1, k2)
 
-    def _norm_vals(df: pd.DataFrame) -> pd.DataFrame:
-        # a NULL sum_val rides Arrow int64; pandas rehydrates it as
-        # float64+NaN — pin to nullable Int64 so arithmetic stays exact
-        # and NULL groups stay NULL (min_count=1 below)
-        df = df.copy()
-        df["sum_val"] = df["sum_val"].astype("Int64")
-        df["n_rows"] = df["n_rows"].astype(np.int64)
-        return df
+    _norm_vals = _cube_norm_vals
 
     def _per_k1(df: pd.DataFrame) -> pd.DataFrame:
         df = _norm_vals(df)
@@ -647,24 +680,98 @@ def grouped_rollup(
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
     rolled = bucketed_group_apply(partial, k1, _per_k1, num_partitions)
-    # seed one NULL-sum/zero-count level-2 partial so the grand-total
-    # grouping set exists even on an empty (or fully filtered) input —
-    # it is the sum identity whenever real partials exist
-    seed = ray.data.from_arrow(
-        pa.table(
-            {
-                k1: pa.array([None], pa.string()),
-                k2: pa.array([None], pa.string()),
-                "sum_val": pa.array([None], pa.int64()),
-                "n_rows": pa.array([0], pa.int64()),
-                "__lvl": pa.array([2], pa.int8()),
-            }
-        )
-    )
     # the merge exchange moves only rollup-OUTPUT-sized rows (distinct
     # key combos + subtotals), never raw data — one task is the right
     # size for a grand-total reduce at any input scale
-    return bucketed_group_apply(rolled.union(seed), "__lvl", _merge_grand, 1)
+    return bucketed_group_apply(
+        rolled.union(_cube_grand_seed(k1, k2)), "__lvl", _merge_grand, 1
+    )
+
+
+def grouped_cube(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: tuple[str, str] = ("source", "lang"),
+    value_col: str = "n_chars",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """``GROUP BY CUBE (k1, k2)`` — all four grouping sets: leaf
+    ``(k1, k2)`` rows, ``k1`` subtotals, ``k2`` subtotals and the
+    grand total, with :func:`grouped_rollup`'s exact SQL parity
+    (count(*) counts NULL values, sum skips them, empty input emits
+    the grand row).
+
+    The per-batch combiner runs ONCE and its reduced partials are
+    materialized (they are the exchange unit — distinct key combos per
+    batch, never raw rows), then shuffled twice: on ``k1`` (emitting
+    leaf + k1 subtotals + grand partials, exactly the rollup bucket
+    callback) and on ``k2`` (emitting the k2 subtotals, each k2 fully
+    local to its bucket).  Both exchanges and the final grand merge
+    move only cube-output-sized rows, so at 100 TB the raw data is
+    still read exactly once."""
+    k1, k2 = key_cols
+    _partial = _cube_partial_fn(k1, k2, value_col)
+
+    def _stable_keys(out: pd.DataFrame) -> pd.DataFrame:
+        return _cube_stable_keys(out, k1, k2)
+
+    def _per_k1(df: pd.DataFrame) -> pd.DataFrame:
+        df = _cube_norm_vals(df)
+        gb = df.groupby([k1, k2], as_index=False, sort=False, dropna=False)
+        leaf = gb["sum_val"].sum(min_count=1)
+        leaf["n_rows"] = gb["n_rows"].sum()["n_rows"].to_numpy(np.int64)
+        leaf["__lvl"] = np.int8(0)
+        gb1 = df.groupby(k1, as_index=False, sort=False, dropna=False)
+        sub = gb1["sum_val"].sum(min_count=1)
+        sub["n_rows"] = gb1["n_rows"].sum()["n_rows"].to_numpy(np.int64)
+        sub[k2] = None
+        sub["__lvl"] = np.int8(1)
+        grand = pd.DataFrame(
+            {
+                k1: [None],
+                k2: [None],
+                "sum_val": pd.array([df["sum_val"].sum(min_count=1)], dtype="Int64"),
+                "n_rows": [np.int64(df["n_rows"].sum())],
+                "__lvl": [np.int8(2)],
+            }
+        )
+        order = [k1, k2, "sum_val", "n_rows", "__lvl"]
+        return _stable_keys(pd.concat([leaf[order], sub[order], grand], ignore_index=True))
+
+    def _per_k2(df: pd.DataFrame) -> pd.DataFrame:
+        # every row of a k2 value is in this bucket, so its subtotal is
+        # bucket-local and final (level 1 = done, no second merge)
+        df = _cube_norm_vals(df)
+        gb2 = df.groupby(k2, as_index=False, sort=False, dropna=False)
+        sub = gb2["sum_val"].sum(min_count=1)
+        sub["n_rows"] = gb2["n_rows"].sum()["n_rows"].to_numpy(np.int64)
+        sub[k1] = None
+        sub["__lvl"] = np.int8(1)
+        order = [k1, k2, "sum_val", "n_rows", "__lvl"]
+        return _stable_keys(sub[order])
+
+    def _merge_grand(df: pd.DataFrame) -> pd.DataFrame:
+        df = _cube_norm_vals(df)
+        done = df[df["__lvl"] < 2].drop(columns="__lvl")
+        partials = df[df["__lvl"] == 2]
+        total = pd.DataFrame(
+            {
+                k1: [None],
+                k2: [None],
+                "sum_val": pd.array([partials["sum_val"].sum(min_count=1)], dtype="Int64"),
+                "n_rows": [np.int64(partials["n_rows"].sum())],
+            }
+        )
+        return _stable_keys(pd.concat([done, total], ignore_index=True))
+
+    # two consumers of the combiner output: materialize the (reduced,
+    # exchange-unit-sized) partials so the raw scan runs once
+    partial = ds.map_batches(_partial, batch_format="pyarrow").materialize()
+    rolled = bucketed_group_apply(partial, k1, _per_k1, num_partitions)
+    sub2 = bucketed_group_apply(partial, k2, _per_k2, num_partitions)
+    return bucketed_group_apply(
+        rolled.union(sub2).union(_cube_grand_seed(k1, k2)), "__lvl", _merge_grand, 1
+    )
 
 
 def source_ngram_overlap(

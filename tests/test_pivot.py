@@ -405,3 +405,40 @@ def test_grouped_rollup_empty_and_dict_keys(ray_session):
     assert len(out) == 6  # 3 leaf + 2 sub + 1 grand
     grand = out[out.source.isna() & out.lang.isna()]
     assert int(grand.sum_val.iloc[0]) == 7 and int(grand.n_rows.iloc[0]) == 3
+
+
+def test_grouped_cube_matches_duckdb_cube(ray_session):
+    """All four grouping sets must equal GROUP BY CUBE as a multiset —
+    NULL data keys and NULL values included."""
+    import duckdb
+    import numpy as np
+
+    from fuzzy_matching_ray.extras.aggregates import grouped_cube
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "source": [None if i % 41 == 0 else f"s{i % 4}" for i in range(300)],
+            "lang": [None if i % 29 == 0 else ["en", "de", "zh"][i % 3] for i in range(300)],
+            "n_chars": [None if i % 17 == 0 else int(v) for i, v in enumerate(rng.integers(1, 500, size=300))],
+        }
+    )
+    out = grouped_cube(
+        rd.from_pandas(df).repartition(6),
+        key_cols=("source", "lang"),
+        value_col="n_chars",
+        num_partitions=4,
+    ).to_pandas()
+    exp = duckdb.connect().execute(
+        "SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sum_val, "
+        "count(*)::BIGINT AS n_rows FROM df GROUP BY CUBE (source, lang)"
+    ).fetchdf()
+
+    def canon(d):
+        return sorted(
+            (str(a), str(b), "NA" if pd.isna(s) else str(int(s)), int(n))
+            for a, b, s, n in zip(d.source, d.lang, d.sum_val, d.n_rows)
+        )
+
+    assert len(out) == len(exp)
+    assert canon(out) == canon(exp)
