@@ -87,7 +87,8 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
                  "redact_pii_documents", "decontaminate_documents",
                  "repetition_stats_documents", "incremental_dedup_pairs",
                  "tfidf_top_terms", "mix_sources_documents", "rollup_documents",
-                 "unigram_logfreq_documents", "source_overlap_documents"):
+                 "unigram_logfreq_documents", "source_overlap_documents",
+                 "cube_documents"):
         fn = entrymod.queries()[name]
         t0 = time.time()
         out = fn(sf_dir)
