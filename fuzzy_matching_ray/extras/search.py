@@ -4,11 +4,15 @@
 streaming passes over the corpus:
 
 1. **stats pass** — per-batch partial (doc count, total token count,
-   per-term document frequency) rows, reduced on the driver (one tiny
-   row per batch).
+   per-term document frequency) rows, reduced by Ray Data's
+   distributed ``Dataset.sum`` aggregate (combiner-first tree), so the
+   driver receives ONE summary row no matter how many blocks emitted
+   partials.
 2. **score pass** — per-batch vectorized term-frequency scoring with a
-   batch-local partial top-k combiner, so the driver only ever sees
-   ``k`` rows per batch, never the corpus.
+   batch-local partial top-k combiner, then a second-level
+   ``repartition`` + per-block top-k prune, so the driver collects at
+   most ``merge_partitions × k`` rows — constant in the block count
+   (the round-4 ANN pattern, ``extras/ann.py``).
 
 Engine-exact scoring contract: the idf is the RATIONAL BM25 idf
 ``(N - df + 0.5) / (df + 0.5)`` **without the log** — every operation
@@ -44,10 +48,18 @@ def bm25_topk(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    merge_partitions: int = 64,
 ) -> pd.DataFrame:
     """Top-``k`` documents for ``terms`` under log-free BM25.
     Returns a pandas DataFrame ``(doc_id, score)`` ordered by
-    ``score DESC, doc_id`` (deterministic ties)."""
+    ``score DESC, doc_id`` (deterministic ties).
+
+    Driver-row bound: the stats reduce lands exactly one summary row
+    on the driver (``Dataset.sum`` is a distributed combiner-first
+    aggregate) and the score merge lands at most
+    ``merge_partitions × k`` rows — both constants, independent of the
+    corpus block count (``tools/bench_bm25_scale.py`` evidences this
+    at 10× blocks)."""
     terms = tuple(terms)
 
     def _stats(batch: pd.DataFrame) -> pd.DataFrame:
@@ -58,18 +70,25 @@ def bm25_topk(
             row[f"df{j}"] = np.int64(toks.apply(lambda ts, t=t: t in ts).sum())
         return pd.DataFrame([row])
 
-    parts = ds.map_batches(_stats, batch_format="pandas").to_pandas()
-    n = int(parts["n"].sum())
-    tot = int(parts["tot"].sum())
+    stat_cols = ["n", "tot"] + [f"df{j}" for j in range(len(terms))]
+    # distributed tree reduce: per-block partial rows -> Dataset.sum
+    # (combiner per block, small final merge) -> ONE dict on the driver
+    sums = ds.map_batches(_stats, batch_format="pandas").sum(stat_cols)
+    n = int(sums["sum(n)"] or 0) if sums is not None else 0
     if n == 0:
         return pd.DataFrame({id_col: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    tot = int(sums["sum(tot)"])
     avgdl = float(tot) / n
-    dfs = [int(parts[f"df{j}"].sum()) for j in range(len(terms))]
+    dfs = [int(sums[f"sum(df{j})"]) for j in range(len(terms))]
     idfs = [(n - df + 0.5) / (df + 0.5) for df in dfs]
     one_minus_b = 1.0 - b
     k1p1 = k1 + 1.0
 
     def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        # blocks sliced from a driver DataFrame keep their original
+        # index — the explode/groupby(level=0)/reindex alignment below
+        # requires a fresh 0-based RangeIndex per batch
+        batch = batch.reset_index(drop=True)
         toks = _tokens(batch[text_col])
         ex = toks.explode()
         dl = toks.str.len().fillna(0).to_numpy(dtype=np.float64)
@@ -89,11 +108,25 @@ def bm25_topk(
         out = out.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
         return out.head(k)
 
-    partials = ds.map_batches(_score, batch_format="pandas").to_pandas()
-    partials = partials.sort_values(
+    def _prune(batch: pd.DataFrame) -> pd.DataFrame:
+        # second-level combiner: the global top-k is a subset of every
+        # partition-local top-k over the batch-local partials
+        return batch.sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    partials = ds.map_batches(_score, batch_format="pandas")
+    # two-level merge: ≤ k rows/block -> repartition into a fixed
+    # number of merge blocks -> ≤ k rows/merge-block -> driver sees
+    # ≤ merge_partitions·k rows regardless of corpus block count
+    merged = partials.repartition(merge_partitions).map_batches(
+        _prune, batch_format="pandas"
+    )
+    out = merged.to_pandas()  # ≤ merge_partitions × k rows by construction
+    out = out.sort_values(
         ["score", id_col], ascending=[False, True], kind="mergesort"
     ).head(k)
-    return partials.reset_index(drop=True)
+    return out.reset_index(drop=True)
 
 
 def bm25_oracle_sql(

@@ -66,6 +66,40 @@ def test_bm25_ranks_term_dense_doc_first():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bm25_block_layout_invariant():
+    """Regression: scores must not depend on block layout.
+
+    Two traps this pins down: (1) blocks sliced from a driver
+    DataFrame keep their ORIGINAL pandas index, so the per-batch
+    explode/groupby(level=0)/reindex alignment must reset the index
+    (pre-round-5 bug: every block after the first scored tf=0); (2)
+    the two-level distributed merge (repartition + per-block prune)
+    must keep the exact global top-k when partials arrive from many
+    more blocks than ``merge_partitions``."""
+    rng = np.random.default_rng(11)
+    vocab = "alpha beta gamma delta hash join scan".split()
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, size=int(n)).tolist())
+                for n in rng.integers(3, 30, size=500)
+            ],
+        }
+    )
+    out1 = bm25_topk(
+        rd.from_pandas(df, override_num_blocks=1), terms=("hash", "join"), k=10
+    )
+    out40 = bm25_topk(
+        rd.from_pandas(df, override_num_blocks=40),
+        terms=("hash", "join"),
+        k=10,
+        merge_partitions=4,
+    )
+    pd.testing.assert_frame_equal(out1, out40)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pack_sequences_concat_and_chunk_layout():
     # shard 0 (doc_ids all % 64 distinct -> use ids within one shard)
     rows = [
