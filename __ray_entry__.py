@@ -947,6 +947,37 @@ def _q_rollup_documents(sf_dir: str):
     )
 
 
+def _q_rollup_documents_3key(sf_dir: str):
+    """ROLLUP(source, lang, len_bucket) with the full aggregate set
+    (sum/count/min/max/avg) — the N-key generalization: every key
+    prefix plus the grand total from ONE combiner pass, raw rows never
+    shuffling (see extras/aggregates.grouped_rollup)."""
+    import pyarrow.compute as pc
+
+    from fuzzy_matching_ray.extras.aggregates import grouped_rollup
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        n = t["n_chars"]
+        lb = pc.if_else(
+            pc.less(n, 200),
+            pa.scalar("short"),
+            pc.if_else(pc.less(n, 1000), pa.scalar("mid"), pa.scalar("long")),
+        )
+        return t.append_column("len_bucket", lb.cast(pa.string()))
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["source", "lang", "n_chars"])
+        .map_batches(_bucket, batch_format="pyarrow")
+    )
+    return grouped_rollup(
+        ds,
+        key_cols=("source", "lang", "len_bucket"),
+        value_col="n_chars",
+        aggs=("sum", "count", "min", "max", "avg"),
+    )
+
+
 def _q_cube_documents(sf_dir: str):
     """Full CUBE(source, lang) char/row totals: all four grouping
     sets from ONE combiner pass over the raw rows (the reduced
@@ -1176,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "mix_sources_documents": _q_mix_sources,
         "rollup_documents": _q_rollup_documents,
+        "rollup_documents_3key": _q_rollup_documents_3key,
         "unigram_logfreq_documents": _q_unigram_logfreq,
         "source_overlap_documents": _q_source_overlap,
         "cube_documents": _q_cube_documents,
@@ -1779,6 +1811,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sum_val, "
             "count(*)::BIGINT AS n_rows "
             "FROM documents GROUP BY CUBE (source, lang)"
+        ),
+        "rollup_documents_3key": (
+            "SELECT source, lang, len_bucket, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_val, "
+            "count(*)::BIGINT AS n_rows, "
+            "CAST(min(n_chars) AS BIGINT) AS min_val, "
+            "CAST(max(n_chars) AS BIGINT) AS max_val, "
+            "avg(n_chars) AS avg_val "
+            "FROM (SELECT source, lang, "
+            "CASE WHEN n_chars < 200 THEN 'short' "
+            "WHEN n_chars < 1000 THEN 'mid' ELSE 'long' END AS len_bucket, "
+            "n_chars FROM documents) "
+            "GROUP BY ROLLUP (source, lang, len_bucket)"
         ),
         "unigram_logfreq_documents": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("

@@ -520,14 +520,37 @@ def approx_quantiles_sketch(
     return bucketed_group_apply(partial, "key", _final, num_partitions)
 
 
-def _cube_partial_fn(k1: str, k2: str, value_col: str):
+# ---- grouping-set aggregation: ROLLUP / CUBE over N keys ----------
+#
+# Shared machinery: ONE per-batch Arrow combiner reduces raw rows to
+# ``(keys..., sum_val, n_vals, min_val, max_val, n_rows)`` partials —
+# the exchange unit.  Every grouping set is then derived from those
+# partials by bucketed shuffles keyed on the FIRST key each set
+# retains (so the set is bucket-local and final), and the grand total
+# merges per-bucket partials in a final output-sized exchange.  Raw
+# rows never shuffle, whatever the key count or aggregate list.
+
+_CUBE_AGG_COLS = {
+    "sum": "sum_val",
+    "count": "n_rows",
+    "min": "min_val",
+    "max": "max_val",
+    "avg": "avg_val",
+}
+_CUBE_STATS = ["sum_val", "n_vals", "min_val", "max_val", "n_rows"]
+
+
+def _cube_partial_fn(keys: tuple[str, ...], value_col: str):
     """Per-batch Arrow combiner shared by :func:`grouped_rollup` and
-    :func:`grouped_cube`: raw rows → ``(k1, k2, sum_val, n_rows)``
-    partials (``n_rows`` = count(*), ``sum_val`` SQL-sum semantics)."""
+    :func:`grouped_cube`: raw rows → ``(keys..., sum_val, n_vals,
+    min_val, max_val, n_rows)`` partials with SQL semantics —
+    ``n_rows`` = count(*) (NULL values still count), ``sum/min/max``
+    skip NULLs and are NULL for all-NULL groups, ``n_vals`` =
+    count(value) (the avg denominator)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        keys = {}
-        for c in (k1, k2):
+        kcols = {}
+        for c in keys:
             col = batch[c]
             if pa.types.is_dictionary(col.type):
                 col = col.cast(col.type.value_type)  # parquet dict-encoding
@@ -541,23 +564,27 @@ def _cube_partial_fn(k1: str, k2: str, value_col: str):
                     f"grouped_rollup/cube requires string key columns; {c!r} is "
                     f"{batch[c].type} — cast it upstream"
                 )
-            keys[c] = col
+            kcols[c] = col
         t = pa.table(
             {
-                k1: keys[k1],
-                k2: keys[k2],
+                **kcols,
                 "v": batch[value_col].cast(pa.int64()),
                 "one": pa.array(np.ones(len(batch), np.int64)),
             }
         )
-        # ("one","sum") = count(*); ("v","sum") skips NULL values and is
-        # NULL for an all-NULL group — both exactly SQL's aggregates
-        g = t.group_by([k1, k2]).aggregate([("v", "sum"), ("one", "sum")])
+        # ("one","sum") = count(*); ("v","sum"/"min"/"max") skip NULL
+        # values and are NULL for an all-NULL group; ("v","count")
+        # counts valid values — all exactly SQL's aggregates
+        g = t.group_by(list(keys)).aggregate(
+            [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max"), ("one", "sum")]
+        )
         return pa.table(
             {
-                k1: g[k1],
-                k2: g[k2],
+                **{c: g[c] for c in keys},
                 "sum_val": g["v_sum"].cast(pa.int64()),
+                "n_vals": g["v_count"].cast(pa.int64()),
+                "min_val": g["v_min"].cast(pa.int64()),
+                "max_val": g["v_max"].cast(pa.int64()),
                 "n_rows": g["one_sum"].cast(pa.int64()),
             }
         )
@@ -565,38 +592,42 @@ def _cube_partial_fn(k1: str, k2: str, value_col: str):
     return _partial
 
 
-def _cube_stable_keys(out: pd.DataFrame, k1: str, k2: str) -> pd.DataFrame:
+def _cube_stable_keys(out: pd.DataFrame, keys: tuple[str, ...]) -> pd.DataFrame:
     # subtotal rows put None into the key columns; a bucket whose
     # output keys are ALL None would otherwise infer a null-typed
     # Arrow column that cannot union with string blocks from other
     # buckets — pin object keys to pandas "string" dtype so every
     # block converts to pa.string()
-    for c in (k1, k2):
+    for c in keys:
         if out[c].dtype == object:
             out[c] = out[c].astype("string")
     return out
 
 
 def _cube_norm_vals(df: pd.DataFrame) -> pd.DataFrame:
-    # a NULL sum_val rides Arrow int64; pandas rehydrates it as
+    # NULL-able stats ride Arrow int64; pandas rehydrates them as
     # float64+NaN — pin to nullable Int64 so arithmetic stays exact
-    # and NULL groups stay NULL (min_count=1 at the aggregations)
+    # and NULL groups stay NULL (min_count=1 at the sum aggregations)
     df = df.copy()
-    df["sum_val"] = df["sum_val"].astype("Int64")
-    df["n_rows"] = df["n_rows"].astype(np.int64)
+    for c in ("sum_val", "min_val", "max_val"):
+        df[c] = df[c].astype("Int64")
+    for c in ("n_vals", "n_rows"):
+        df[c] = df[c].astype(np.int64)
     return df
 
 
-def _cube_grand_seed(k1: str, k2: str) -> ray.data.Dataset:
+def _cube_grand_seed(keys: tuple[str, ...]) -> ray.data.Dataset:
     """One NULL-sum/zero-count level-2 partial: guarantees the
     grand-total grouping-set row exists even on an empty input (it is
-    the sum identity whenever real partials exist)."""
+    the aggregation identity whenever real partials exist)."""
     return ray.data.from_arrow(
         pa.table(
             {
-                k1: pa.array([None], pa.string()),
-                k2: pa.array([None], pa.string()),
+                **{c: pa.array([None], pa.string()) for c in keys},
                 "sum_val": pa.array([None], pa.int64()),
+                "n_vals": pa.array([0], pa.int64()),
+                "min_val": pa.array([None], pa.int64()),
+                "max_val": pa.array([None], pa.int64()),
                 "n_rows": pa.array([0], pa.int64()),
                 "__lvl": pa.array([2], pa.int8()),
             }
@@ -604,173 +635,200 @@ def _cube_grand_seed(k1: str, k2: str) -> ray.data.Dataset:
     )
 
 
-def grouped_rollup(
-    ds: ray.data.Dataset,
-    *,
-    key_cols: tuple[str, str] = ("source", "lang"),
-    value_col: str = "n_chars",
-    num_partitions: int = 16,
-) -> ray.data.Dataset:
-    """Hierarchical ``ROLLUP (k1, k2)`` totals — leaf ``(k1, k2)``
-    rows, ``k1`` subtotals (``k2`` NULL) and the grand total (both
-    NULL) — without ever re-reading the input or running a second
-    aggregate over raw rows.
+def _cube_agg_set(
+    df: pd.DataFrame, keys: tuple[str, ...], kept: tuple[str, ...]
+) -> pd.DataFrame:
+    """Aggregate normalized partials to ONE grouping set: keys not in
+    ``kept`` come out NULL.  ``dropna=False`` keeps a NULL key value in
+    the DATA as its own group (SQL GROUP BY semantics) — it emits a row
+    whose visible key values may equal a subtotal row's, exactly as SQL
+    ROLLUP/CUBE multisets do."""
+    gb = df.groupby(list(kept), as_index=False, sort=False, dropna=False)
+    out = gb["sum_val"].sum(min_count=1)
+    # sort=False group order is identical across the per-stat calls on
+    # the same groupby, so positional assignment lines up
+    out["n_vals"] = gb["n_vals"].sum()["n_vals"].to_numpy(np.int64)
+    out["min_val"] = gb["min_val"].min()["min_val"].array
+    out["max_val"] = gb["max_val"].max()["max_val"].array
+    out["n_rows"] = gb["n_rows"].sum()["n_rows"].to_numpy(np.int64)
+    for c in keys:
+        if c not in kept:
+            out[c] = None
+    out["__lvl"] = np.int8(0)
+    return out[[*keys, *_CUBE_STATS, "__lvl"]]
 
-    One combiner-first pass: per-batch Arrow groupby reduces raw rows
-    to ``(k1, k2, sum, count)`` partials; ONE bucketed shuffle on
-    ``k1`` co-locates every ``k2`` under its ``k1``, so a single
-    vectorized bucket callback emits both the leaf rows and that
-    bucket's ``k1`` subtotals plus a per-bucket grand-total partial;
-    a second tiny exchange (rollup-output-sized, not data-sized)
-    merges the grand partials.  All levels therefore derive from the
-    same reduced partials — at 100 TB the raw data is read once and
-    only rollup-output-sized rows ever shuffle.
 
-    SQL parity details: ``n_rows`` is ``count(*)`` (rows with a NULL
-    value still count), ``sum_val`` is SQL ``sum`` (NULLs skipped,
-    NULL when a group is all-NULL), and an empty input still emits
-    the grand-total grouping-set row ``(NULL, NULL, NULL, 0)``."""
-    k1, k2 = key_cols
-    _partial = _cube_partial_fn(k1, k2, value_col)
+def _cube_levels_fn(
+    keys: tuple[str, ...], sets: tuple[tuple[str, ...], ...], emit_grand: bool
+):
+    """Bucket callback shared by rollup and cube (hoisted per ADVICE
+    r4): emit every grouping set in ``sets`` (each must retain the
+    shuffle key, so it is bucket-local and final) plus, when
+    ``emit_grand``, one level-2 grand-total partial for this bucket."""
 
-    def _stable_keys(out: pd.DataFrame) -> pd.DataFrame:
-        return _cube_stable_keys(out, k1, k2)
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _cube_norm_vals(df)
+        frames = [_cube_agg_set(df, keys, kept) for kept in sets]
+        if emit_grand:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        **{c: [None] for c in keys},
+                        "sum_val": pd.array([df["sum_val"].sum(min_count=1)], dtype="Int64"),
+                        "n_vals": [np.int64(df["n_vals"].sum())],
+                        "min_val": pd.array([df["min_val"].min()], dtype="Int64"),
+                        "max_val": pd.array([df["max_val"].max()], dtype="Int64"),
+                        "n_rows": [np.int64(df["n_rows"].sum())],
+                        "__lvl": [np.int8(2)],
+                    }
+                )
+            )
+        return _cube_stable_keys(pd.concat(frames, ignore_index=True), keys)
 
-    _norm_vals = _cube_norm_vals
+    return _fn
 
-    def _per_k1(df: pd.DataFrame) -> pd.DataFrame:
-        df = _norm_vals(df)
-        # dropna=False: a NULL key value in the DATA is its own group
-        # (SQL GROUP BY semantics), distinct from the subtotal NULLs
-        gb = df.groupby([k1, k2], as_index=False, sort=False, dropna=False)
-        leaf = gb["sum_val"].sum(min_count=1)
-        leaf["n_rows"] = gb["n_rows"].sum()["n_rows"].to_numpy(np.int64)
-        leaf["__lvl"] = np.int8(0)
-        gb1 = df.groupby(k1, as_index=False, sort=False, dropna=False)
-        sub = gb1["sum_val"].sum(min_count=1)
-        sub["n_rows"] = gb1["n_rows"].sum()["n_rows"].to_numpy(np.int64)
-        sub[k2] = None
-        sub["__lvl"] = np.int8(1)
-        # per-bucket grand-total partial (merged in the second pass)
-        grand = pd.DataFrame(
-            {
-                k1: [None],
-                k2: [None],
-                "sum_val": pd.array([df["sum_val"].sum(min_count=1)], dtype="Int64"),
-                "n_rows": [np.int64(df["n_rows"].sum())],
-                "__lvl": [np.int8(2)],
-            }
-        )
-        order = [k1, k2, "sum_val", "n_rows", "__lvl"]
-        return _stable_keys(pd.concat([leaf[order], sub[order], grand], ignore_index=True))
 
-    def _merge_grand(df: pd.DataFrame) -> pd.DataFrame:
-        df = _norm_vals(df)
+def _cube_finalize_fn(keys: tuple[str, ...], aggs: tuple[str, ...]):
+    """Final single-bucket merge: fold the per-bucket grand partials
+    into THE grand row, then project the requested aggregate columns
+    (computing ``avg_val`` = sum/count(value), NULL for value-less
+    groups).  The exchange feeding this is rollup/cube-OUTPUT-sized,
+    never data-sized, so one task is the right size at any scale."""
+    out_cols = [*keys, *(_CUBE_AGG_COLS[a] for a in aggs)]
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _cube_norm_vals(df)
         done = df[df["__lvl"] < 2].drop(columns="__lvl")
         partials = df[df["__lvl"] == 2]
         total = pd.DataFrame(
             {
-                k1: [None],
-                k2: [None],
+                **{c: [None] for c in keys},
                 "sum_val": pd.array([partials["sum_val"].sum(min_count=1)], dtype="Int64"),
+                "n_vals": [np.int64(partials["n_vals"].sum())],
+                "min_val": pd.array([partials["min_val"].min()], dtype="Int64"),
+                "max_val": pd.array([partials["max_val"].max()], dtype="Int64"),
                 "n_rows": [np.int64(partials["n_rows"].sum())],
             }
         )
-        return _stable_keys(pd.concat([done, total], ignore_index=True))
+        allr = pd.concat([done, total], ignore_index=True)
+        if "avg" in aggs:
+            nv = allr["n_vals"].to_numpy(np.int64)
+            sv = allr["sum_val"].astype("float64").to_numpy()
+            allr["avg_val"] = np.where(nv > 0, sv / np.maximum(nv, 1), np.nan)
+        return _cube_stable_keys(allr, keys)[out_cols]
 
-    partial = ds.map_batches(_partial, batch_format="pyarrow")
-    rolled = bucketed_group_apply(partial, k1, _per_k1, num_partitions)
-    # the merge exchange moves only rollup-OUTPUT-sized rows (distinct
-    # key combos + subtotals), never raw data — one task is the right
-    # size for a grand-total reduce at any input scale
+    return _fn
+
+
+def _check_cube_args(key_cols, aggs) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    keys = tuple(key_cols)
+    aggs = tuple(aggs)
+    if not keys:
+        raise ValueError("key_cols must name at least one column")
+    bad = [a for a in aggs if a not in _CUBE_AGG_COLS]
+    if bad:
+        raise ValueError(f"unknown aggs {bad}; supported: {sorted(_CUBE_AGG_COLS)}")
+    return keys, aggs
+
+
+def grouped_rollup(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: tuple[str, ...] = ("source", "lang"),
+    value_col: str = "n_chars",
+    aggs: tuple[str, ...] = ("sum", "count"),
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Hierarchical ``ROLLUP (k1, ..., kn)`` totals — every key-prefix
+    grouping set plus the grand total — without ever re-reading the
+    input or running a second aggregate over raw rows.  ``aggs``
+    selects the output aggregate columns: ``sum`` (``sum_val``),
+    ``count`` (``n_rows`` = count(*)), ``min``/``max``
+    (``min_val``/``max_val``) and ``avg`` (``avg_val`` =
+    sum/count(value)), all with exact SQL NULL semantics.
+
+    One combiner-first pass: the per-batch Arrow combiner reduces raw
+    rows to per-key-tuple stat partials; every non-empty prefix
+    retains ``k1``, so ONE bucketed shuffle on ``k1`` makes all of
+    them bucket-local — a single vectorized callback emits every
+    level plus a per-bucket grand-total partial; a second tiny
+    exchange (rollup-output-sized, not data-sized) merges the grand
+    partials.  At 100 TB the raw data is read once and only
+    rollup-output-sized rows ever shuffle.
+
+    SQL parity details: ``n_rows`` is ``count(*)`` (rows with a NULL
+    value still count), ``sum_val`` is SQL ``sum`` (NULLs skipped,
+    NULL when a group is all-NULL), and an empty input still emits
+    the grand-total grouping-set row."""
+    keys, aggs = _check_cube_args(key_cols, aggs)
+    # prefixes (k1..ki for i=n..1); the empty set is the grand total
+    sets = tuple(keys[:i] for i in range(len(keys), 0, -1))
+    partial = ds.map_batches(_cube_partial_fn(keys, value_col), batch_format="pyarrow")
+    rolled = bucketed_group_apply(
+        partial, keys[0], _cube_levels_fn(keys, sets, emit_grand=True), num_partitions
+    )
     return bucketed_group_apply(
-        rolled.union(_cube_grand_seed(k1, k2)), "__lvl", _merge_grand, 1
+        rolled.union(_cube_grand_seed(keys)),
+        "__lvl",
+        _cube_finalize_fn(keys, aggs),
+        1,
     )
 
 
 def grouped_cube(
     ds: ray.data.Dataset,
     *,
-    key_cols: tuple[str, str] = ("source", "lang"),
+    key_cols: tuple[str, ...] = ("source", "lang"),
     value_col: str = "n_chars",
+    aggs: tuple[str, ...] = ("sum", "count"),
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """``GROUP BY CUBE (k1, k2)`` — all four grouping sets: leaf
-    ``(k1, k2)`` rows, ``k1`` subtotals, ``k2`` subtotals and the
-    grand total, with :func:`grouped_rollup`'s exact SQL parity
-    (count(*) counts NULL values, sum skips them, empty input emits
-    the grand row).
+    """``GROUP BY CUBE (k1, ..., kn)`` — all ``2^n`` grouping sets,
+    with :func:`grouped_rollup`'s exact SQL parity (count(*) counts
+    NULL values, sum/min/max skip them, empty input emits the grand
+    row) and the same ``aggs`` column selection.
 
     The per-batch combiner runs ONCE and its reduced partials are
     materialized (they are the exchange unit — distinct key combos per
-    batch, never raw rows), then shuffled twice: on ``k1`` (emitting
-    leaf + k1 subtotals + grand partials, exactly the rollup bucket
-    callback) and on ``k2`` (emitting the k2 subtotals, each k2 fully
-    local to its bucket).  Both exchanges and the final grand merge
-    move only cube-output-sized rows, so at 100 TB the raw data is
-    still read exactly once."""
-    k1, k2 = key_cols
-    _partial = _cube_partial_fn(k1, k2, value_col)
+    batch, never raw rows), then shuffled once per key ``ki``: the
+    ``ki`` exchange computes every grouping set whose FIRST retained
+    key is ``ki`` (each such set is fully bucket-local under a ``ki``
+    shuffle), and the grand total merges per-bucket partials in a
+    final output-sized exchange.  All ``n`` exchanges move only
+    cube-output-sized rows, so at 100 TB the raw data is still read
+    exactly once.
 
-    def _stable_keys(out: pd.DataFrame) -> pd.DataFrame:
-        return _cube_stable_keys(out, k1, k2)
-
-    def _per_k1(df: pd.DataFrame) -> pd.DataFrame:
-        df = _cube_norm_vals(df)
-        gb = df.groupby([k1, k2], as_index=False, sort=False, dropna=False)
-        leaf = gb["sum_val"].sum(min_count=1)
-        leaf["n_rows"] = gb["n_rows"].sum()["n_rows"].to_numpy(np.int64)
-        leaf["__lvl"] = np.int8(0)
-        gb1 = df.groupby(k1, as_index=False, sort=False, dropna=False)
-        sub = gb1["sum_val"].sum(min_count=1)
-        sub["n_rows"] = gb1["n_rows"].sum()["n_rows"].to_numpy(np.int64)
-        sub[k2] = None
-        sub["__lvl"] = np.int8(1)
-        grand = pd.DataFrame(
-            {
-                k1: [None],
-                k2: [None],
-                "sum_val": pd.array([df["sum_val"].sum(min_count=1)], dtype="Int64"),
-                "n_rows": [np.int64(df["n_rows"].sum())],
-                "__lvl": [np.int8(2)],
-            }
+    NOTE: the ``.materialize()`` on the combiner output makes building
+    this query EAGER — constructing the plan executes the full
+    scan+combiner and pins the (reduced) partials in the object store
+    for the operator's lifetime.  That is the price of fanning the
+    partials out to ``n`` consumers without re-reading the input;
+    callers composing fully-lazy plans should be aware."""
+    keys, aggs = _check_cube_args(key_cols, aggs)
+    n = len(keys)
+    # every non-empty subset of keys, assigned to the shuffle of its
+    # first (lowest-index) member; the empty set is the grand total
+    by_first: list[list[tuple[str, ...]]] = [[] for _ in range(n)]
+    for mask in range(1, 1 << n):
+        members = tuple(keys[i] for i in range(n) if mask & (1 << i))
+        by_first[keys.index(members[0])].append(members)
+    partial = ds.map_batches(
+        _cube_partial_fn(keys, value_col), batch_format="pyarrow"
+    ).materialize()
+    shuffled = None
+    for i, k in enumerate(keys):
+        out_i = bucketed_group_apply(
+            partial,
+            k,
+            _cube_levels_fn(keys, tuple(by_first[i]), emit_grand=(i == 0)),
+            num_partitions,
         )
-        order = [k1, k2, "sum_val", "n_rows", "__lvl"]
-        return _stable_keys(pd.concat([leaf[order], sub[order], grand], ignore_index=True))
-
-    def _per_k2(df: pd.DataFrame) -> pd.DataFrame:
-        # every row of a k2 value is in this bucket, so its subtotal is
-        # bucket-local and final (level 1 = done, no second merge)
-        df = _cube_norm_vals(df)
-        gb2 = df.groupby(k2, as_index=False, sort=False, dropna=False)
-        sub = gb2["sum_val"].sum(min_count=1)
-        sub["n_rows"] = gb2["n_rows"].sum()["n_rows"].to_numpy(np.int64)
-        sub[k1] = None
-        sub["__lvl"] = np.int8(1)
-        order = [k1, k2, "sum_val", "n_rows", "__lvl"]
-        return _stable_keys(sub[order])
-
-    def _merge_grand(df: pd.DataFrame) -> pd.DataFrame:
-        df = _cube_norm_vals(df)
-        done = df[df["__lvl"] < 2].drop(columns="__lvl")
-        partials = df[df["__lvl"] == 2]
-        total = pd.DataFrame(
-            {
-                k1: [None],
-                k2: [None],
-                "sum_val": pd.array([partials["sum_val"].sum(min_count=1)], dtype="Int64"),
-                "n_rows": [np.int64(partials["n_rows"].sum())],
-            }
-        )
-        return _stable_keys(pd.concat([done, total], ignore_index=True))
-
-    # two consumers of the combiner output: materialize the (reduced,
-    # exchange-unit-sized) partials so the raw scan runs once
-    partial = ds.map_batches(_partial, batch_format="pyarrow").materialize()
-    rolled = bucketed_group_apply(partial, k1, _per_k1, num_partitions)
-    sub2 = bucketed_group_apply(partial, k2, _per_k2, num_partitions)
+        shuffled = out_i if shuffled is None else shuffled.union(out_i)
     return bucketed_group_apply(
-        rolled.union(sub2).union(_cube_grand_seed(k1, k2)), "__lvl", _merge_grand, 1
+        shuffled.union(_cube_grand_seed(keys)),
+        "__lvl",
+        _cube_finalize_fn(keys, aggs),
+        1,
     )
 
 

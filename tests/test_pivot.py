@@ -442,3 +442,80 @@ def test_grouped_cube_matches_duckdb_cube(ray_session):
 
     assert len(out) == len(exp)
     assert canon(out) == canon(exp)
+
+
+def test_grouped_cube_3keys_full_aggs_matches_duckdb(ray_session):
+    """The N-key generalization: CUBE over THREE keys (8 grouping
+    sets, one partial-shuffle per key) with the full aggregate set —
+    sum / count(*) / min / max / avg — must equal DuckDB as a
+    multiset, NULL data keys and NULL values included."""
+    import duckdb
+    import numpy as np
+
+    from fuzzy_matching_ray.extras.aggregates import grouped_cube
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "a": [None if i % 53 == 0 else f"a{i % 3}" for i in range(400)],
+            "b": [["x", "y"][i % 2] for i in range(400)],
+            "c": [None if i % 31 == 0 else f"c{i % 4}" for i in range(400)],
+            "v": [None if i % 19 == 0 else int(x) for i, x in enumerate(rng.integers(1, 900, size=400))],
+        }
+    )
+    out = grouped_cube(
+        rd.from_pandas(df).repartition(5),
+        key_cols=("a", "b", "c"),
+        value_col="v",
+        aggs=("sum", "count", "min", "max", "avg"),
+        num_partitions=3,
+    ).to_pandas()
+    exp = duckdb.connect().execute(
+        "SELECT a, b, c, CAST(sum(v) AS BIGINT) AS sum_val, "
+        "count(*)::BIGINT AS n_rows, CAST(min(v) AS BIGINT) AS min_val, "
+        "CAST(max(v) AS BIGINT) AS max_val, avg(v) AS avg_val "
+        "FROM df GROUP BY CUBE (a, b, c)"
+    ).fetchdf()
+
+    def canon(d):
+        return sorted(
+            (
+                str(r.a),
+                str(r.b),
+                str(r.c),
+                "NA" if pd.isna(r.sum_val) else str(int(r.sum_val)),
+                int(r.n_rows),
+                "NA" if pd.isna(r.min_val) else str(int(r.min_val)),
+                "NA" if pd.isna(r.max_val) else str(int(r.max_val)),
+                "NA" if pd.isna(r.avg_val) else f"{r.avg_val:.10f}",
+            )
+            for r in d.itertuples()
+        )
+
+    assert len(out) == len(exp)
+    assert canon(out) == canon(exp)
+
+
+def test_grouped_rollup_single_key_and_bad_agg(ray_session):
+    """Degenerate 1-key ROLLUP = GROUP BY + grand total; unknown agg
+    names must fail loudly at plan time."""
+    import pytest
+
+    from fuzzy_matching_ray.extras.aggregates import grouped_rollup
+
+    df = pd.DataFrame({"k": ["p", "q", "p"], "v": [1, 2, 4]})
+    out = (
+        grouped_rollup(
+            rd.from_pandas(df), key_cols=("k",), value_col="v", num_partitions=2
+        )
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3  # p, q, grand
+    assert out.loc[0, "k"] == "p" and int(out.loc[0, "sum_val"]) == 5
+    grand = out[out.k.isna()]
+    assert int(grand.sum_val.iloc[0]) == 7 and int(grand.n_rows.iloc[0]) == 3
+
+    with pytest.raises(ValueError, match="unknown aggs"):
+        grouped_rollup(rd.from_pandas(df), key_cols=("k",), value_col="v", aggs=("median",))

@@ -52,7 +52,7 @@ def main() -> None:
         )
         ds = rd.from_pandas(df).repartition(16)
         partial_rows = (
-            ds.map_batches(_cube_partial_fn("source", "lang", "n_chars"), batch_format="pyarrow")
+            ds.map_batches(_cube_partial_fn(("source", "lang"), "n_chars"), batch_format="pyarrow")
             .count()
         )
         t0 = time.time()
