@@ -75,7 +75,12 @@ except Exception as _fixture_exc:  # pragma: no cover
 def _read(sf_dir: str, table: str):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    from fuzzy_matching_ray.sources.io import strip_schema_metadata
+
+    # metadata-strip at the read boundary: parquet `pandas` schema
+    # metadata makes pa.Schema unhashable, which floods every shuffle
+    # reduce with Ray's schema-dedup warning
+    return strip_schema_metadata(rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet")))
 
 
 def _pipeline_cfg() -> "Any":

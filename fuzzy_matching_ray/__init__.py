@@ -18,6 +18,27 @@ is preserved as a library layer on the same engine.
 
 __version__ = "0.1.0"
 
+import logging as _logging
+
+
+class _DropSchemaHashNoise(_logging.Filter):
+    """Drop Ray's harmless "Failed to hash the schemas (for
+    deduplication)" warning.  ``pa.Schema.__hash__`` raises on any
+    schema carrying metadata (e.g. the ``pandas`` blob in parquet
+    files we don't control, seen inside ``ReadParquet->SplitBlocks``
+    before our read-boundary strip can run); Ray then falls through to
+    the full unify path, so the warning is pure noise.  Installed at
+    package import, which also runs in worker processes when our UDFs
+    deserialize — so reduce/read tasks stay quiet too."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _DropSchemaHashNoise()
+)
+
 from fuzzy_matching_ray.config import (  # noqa: F401
     FuzzyAlgorithm,
     MatchFieldConfig,

@@ -860,11 +860,12 @@ def source_ngram_overlap(
         raise ValueError(f"n must be >= 1, got {n}")
 
     def _grams(batch: pd.DataFrame) -> pd.DataFrame:
+        from fuzzy_matching_ray.extras.tfidf import _tokens
+
         batch = batch.reset_index(drop=True)
-        ex = (
-            batch[text_col].fillna("").astype(str).str.lower().str.split().explode()
-        )
-        ex = ex[ex.notna() & (ex != "")]
+        # the corpus-wide tokenization contract lives in ONE place
+        # (tfidf._tokens) so the SQL-oracle gram join cannot drift
+        ex = _tokens(batch[text_col])
         empty = pd.DataFrame(
             {"g": pd.Series([], dtype=object), "src": pd.Series([], dtype=object)}
         )

@@ -74,7 +74,18 @@ _DF_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 def _tokens(texts: pd.Series) -> pd.Series:
     """Exploded (row-index, token) series: lowercase whitespace split,
     empties dropped — the exact dual of DuckDB
-    ``list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')``."""
+    ``list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')``.
+
+    This is THE corpus-wide tokenization contract: every token-grain
+    operator with a SQL mirror (tfidf, unigram_logfreq,
+    source_ngram_overlap, rare-term rarity) must tokenize through this
+    function.  Known edge: pandas ``str.split()`` splits on ALL
+    Unicode whitespace while DuckDB's RE2 ``\\s+`` matches only ASCII
+    whitespace — a corpus containing NBSP / U+2028 etc. would diverge
+    from the oracles.  The engine deliberately keeps pandas semantics
+    (Unicode-correct at scale) and documents the ASCII-whitespace
+    assumption for the oracle comparisons; the synthetic test corpora
+    contain ASCII whitespace only."""
     ex = texts.fillna("").astype(str).str.lower().str.split().explode()
     return ex[ex.notna() & (ex != "")]
 

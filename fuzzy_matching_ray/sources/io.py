@@ -47,6 +47,20 @@ def _rename_project(batch: pa.Table, name_fields: dict[str, str]) -> pa.Table:
     return pa.table(cols)
 
 
+def strip_schema_metadata(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop Arrow schema metadata from every block (a metadata-only,
+    zero-copy map that fuses with downstream stages).  Parquet files
+    written by pandas carry a ``pandas`` schema-metadata blob, and
+    ``pa.Schema.__hash__`` RAISES on schemas with metadata — so every
+    shuffle reduce over such blocks logs Ray's "Failed to hash the
+    schemas (for deduplication): unhashable type: 'dict'" warning."""
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        return batch.replace_schema_metadata(None)
+
+    return ds.map_batches(_strip, batch_format="pyarrow")
+
+
 def load_dataset(
     path: str,
     file_format: str | None = None,
@@ -57,7 +71,7 @@ def load_dataset(
     ``api.py:148-181``).  Prunes ``columns`` at the read for Parquet."""
     fmt = (file_format or os.path.splitext(path)[1].lstrip(".")).lower()
     if fmt in ("parquet", "pq"):
-        ds = ray.data.read_parquet(path, columns=columns)
+        ds = strip_schema_metadata(ray.data.read_parquet(path, columns=columns))
     elif fmt == "csv":
         ds = ray.data.read_csv(path)
     elif fmt == "json":

@@ -62,6 +62,11 @@ def add_bucket_column(
 ) -> ray.data.Dataset:
     def _add(batch: pa.Table) -> pa.Table:
         b = _bucket_of_column(batch[key], num_partitions)
+        # drop schema metadata (parquet files carry a `pandas` blob):
+        # pa.Schema.__hash__ RAISES on schemas with metadata, which
+        # makes Ray's shuffle-reduce schema dedup warn on every reduce
+        # task ("Failed to hash the schemas: unhashable type: 'dict'")
+        batch = batch.replace_schema_metadata(None)
         return batch.append_column(PART_COL, pa.array(b, pa.int32()))
 
     return ds.map_batches(_add, batch_format="pyarrow")
