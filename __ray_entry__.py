@@ -597,6 +597,16 @@ def _q_multimodal_features(sf_dir: str):
     return media_features(text_to_fake_binary(_read(sf_dir, "documents")))
 
 
+def _q_multimodal_audio(sf_dir: str):
+    """REAL WAV decode (stdlib wave) + integer PCM features over an
+    audio binary column: the blobs are genuine RIFF containers whose
+    PCM16 samples derive deterministically from text ((byte-128)*256),
+    so the DuckDB oracle reproduces every feature exactly."""
+    from fuzzy_matching_ray.extras.multimodal import audio_features, text_to_fake_wav
+
+    return audio_features(text_to_fake_wav(_read(sf_dir, "documents")))
+
+
 def _q_token_heavy_hitters(sf_dir: str):
     """Exact global heavy hitters with map-side partial counts (the
     exchange carries distinct-tokens-per-batch, never occurrences)."""
@@ -1201,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": _q_curate_documents,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_audio": _q_multimodal_audio,
         "events_pivot": _q_events_pivot,
         "length_deciles_documents": _q_length_deciles,
         "gram_novelty_documents": _q_gram_novelty,
@@ -1988,6 +1999,21 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(list_max(bytes), 0)::BIGINT AS max_byte, "
             "coalesce(len(list_filter(bytes, x -> x >= 128)), 0)::BIGINT AS n_hi "
             "FROM b"
+        ),
+        "multimodal_audio": (
+            # PCM16 mono samples derive from utf8 bytes: (b-128)*256 —
+            # hex-pair arithmetic mirrors the wave-decoded numpy exactly
+            "WITH m AS (SELECT doc_id, hex(encode(text)) AS hx, "
+            "octet_length(encode(text))::BIGINT AS n FROM documents), "
+            "s AS (SELECT doc_id, n, list_transform(range(0, n), "
+            "i -> (('0x' || substr(hx, (2*i+1)::INT, 2))::BIGINT - 128) * 256) "
+            "AS smp FROM m) "
+            "SELECT doc_id, n AS n_samples, 8000::BIGINT AS sample_rate, "
+            "(n * 1000) // 8000 AS duration_ms, "
+            "coalesce(list_max(list_transform(smp, x -> abs(x))), 0)::BIGINT AS peak, "
+            "coalesce(list_sum(list_transform(smp, x -> abs(x))), 0)::BIGINT AS sum_abs, "
+            "coalesce(list_sum(list_transform(smp, x -> x * x)), 0)::BIGINT AS energy "
+            "FROM s"
         ),
         "multimodal_frames": (
             # frame math over the fake codec: payload = utf8 bytes of

@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Two codecs are real here: **PNG** (8-bit gray/RGB — decoded and
+Three codecs are real here: **PNG** (8-bit gray/RGB — decoded and
 re-encoded with the stdlib-only codec in ``extras/png.py``, so
-decode→resize→feature runs on an actual interchange format) and the
-deterministic "FMRB" fake (a tiny self-describing header) that keeps
-the SQL oracles integer-exact.  Formats needing external codec
-libraries (JPEG/WAV/MP4 — not in this container) raise
-``NotImplementedError`` loudly; plug PIL/libav into the same actor
-``__init__`` on a full cluster image.
+decode→resize→feature runs on an actual interchange format), **WAV**
+(RIFF PCM via the stdlib ``wave`` module — real audio containers in,
+integer PCM features out), and the deterministic "FMRB" fake (a tiny
+self-describing header) that keeps the SQL oracles integer-exact.
+Formats needing external codec libraries (JPEG/MP4 — not in this
+container) raise ``NotImplementedError`` loudly; plug PIL/libav into
+the same actor ``__init__`` on a full cluster image.
 
 Stages are actor pools (``map_batches`` with a callable class): codec
 tables/"models" load once per actor in ``__init__``; batches stay in
@@ -159,7 +160,8 @@ class MediaResizeStage:
                 continue
             if not (self.allow_fake and blob[:4] == _MAGIC):
                 raise NotImplementedError(
-                    f"no codec for {mt!r} in this container (JPEG/WAV need PIL/libav)"
+                    f"no codec for {mt!r} in this container (JPEG needs PIL; "
+                    "WAV is audio — use audio_features)"
                 )
             w, h = struct.unpack("<HH", blob[4:8])
             payload = blob[8:]
@@ -220,8 +222,8 @@ class MediaFeatureStage:
             elif len(blob) < 8 or blob[:4] != _MAGIC:
                 # same contract as MediaDecodeStage: loud, not garbage
                 raise NotImplementedError(
-                    "no JPEG/WAV codec in this container; PNG and the "
-                    "FMRB fake format are feature-extractable"
+                    "no JPEG codec in this container; PNG and the FMRB fake "
+                    "format are feature-extractable here, WAV via audio_features"
                 )
             else:
                 payload = np.frombuffer(blob, dtype=np.uint8)[8:]  # strip header
@@ -248,6 +250,135 @@ def media_features(
 ) -> ray.data.Dataset:
     return ds.map_batches(
         MediaFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def text_to_fake_wav(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 8000,
+) -> ray.data.Dataset:
+    """REAL RIFF/WAV blobs (stdlib ``wave`` encoder), deterministically
+    derived from text so the audio path is SQL-oracle-checkable: PCM16
+    mono, one sample per UTF-8 byte ``b`` of the text, ``sample =
+    (b - 128) * 256``.  A real pipeline reads audio files via
+    ``ray.data.read_binary_files`` — only this synthesizer is a test
+    harness; everything downstream handles genuine WAV containers."""
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        blobs = []
+        for t in batch[text_col].to_pylist():
+            data = (t or "").encode()
+            samples = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) * 256
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sample_rate)
+                w.writeframes(samples.tobytes())
+            blobs.append(buf.getvalue())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "media": pa.array(blobs, pa.binary()),
+                "media_type": pa.array(["audio/wav"] * len(blobs), pa.string()),
+            }
+        )
+
+    return ds.map_batches(_enc, batch_format="pyarrow")
+
+
+class AudioFeatureStage:
+    """Actor-pool PCM feature extraction over a binary WAV column —
+    the audio half of the multimodal scaffold, now a REAL decode path
+    (stdlib ``wave`` + numpy): per-actor codec bind in ``__init__``,
+    small Arrow batches, binary in / fixed-width integers out.
+
+    Features are all-integer so the DuckDB oracle hashes exactly:
+    ``n_samples``, ``sample_rate``, ``duration_ms`` (floor), ``peak``
+    (max |sample|), ``sum_abs`` and ``energy`` (sum of squared
+    samples — RMS² × n, kept integer instead of a libm sqrt).
+    Non-WAV audio (MP3/OGG/...) raises ``NotImplementedError``."""
+
+    def __init__(self) -> None:
+        import wave
+
+        self._wave = wave
+
+    def _pcm(self, blob: bytes) -> tuple[np.ndarray, int, int]:
+        import io
+
+        if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "no MP3/OGG codec in this container; WAV (RIFF PCM) is decodable"
+            )
+        with self._wave.open(io.BytesIO(blob), "rb") as w:
+            nch, sw, fr, nf = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nf)
+        if sw == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        elif sw == 1:
+            # 8-bit WAV is unsigned, centered at 128
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        else:
+            raise NotImplementedError(f"unsupported PCM sample width {sw}")
+        return samples, fr, nch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_samples = np.empty(n, np.int64)
+        rate = np.empty(n, np.int64)
+        dur_ms = np.empty(n, np.int64)
+        peak = np.empty(n, np.int64)
+        sum_abs = np.empty(n, np.int64)
+        energy = np.empty(n, np.int64)
+        for i, blob in enumerate(batch["media"].to_pylist()):
+            s, fr, nch = self._pcm(blob)
+            n_samples[i] = s.size
+            rate[i] = fr
+            # duration of the frame stream (frames = samples / channels)
+            dur_ms[i] = (s.size // max(1, nch)) * 1000 // fr
+            a = np.abs(s)
+            peak[i] = int(a.max()) if s.size else 0
+            sum_abs[i] = int(a.sum())
+            energy[i] = int((s * s).sum())
+        id_col = batch.column_names[0]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "sample_rate": pa.array(rate, pa.int64()),
+                "duration_ms": pa.array(dur_ms, pa.int64()),
+                "peak": pa.array(peak, pa.int64()),
+                "sum_abs": pa.array(sum_abs, pa.int64()),
+                "energy": pa.array(energy, pa.int64()),
+            }
+        )
+
+
+def audio_features(
+    ds: ray.data.Dataset,
+    *,
+    batch_size: int = 64,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Actor-pool WAV decode + PCM features (same memory-aware shape
+    as the image stages: small batches of large binary rows)."""
+    return ds.map_batches(
+        AudioFeatureStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),

@@ -159,3 +159,52 @@ def test_png_actor_pipeline_end_to_end(ray_session):
         assert row["n_bytes"] == flat.size
         assert row["byte_sum"] == int(flat.sum(dtype=np.int64))
         assert row["max_byte"] == int(flat.max())
+
+
+def test_wav_roundtrip_features_exact(ray_session):
+    """The WAV path is REAL: blobs are RIFF containers the stdlib
+    `wave` reader parses; PCM features must match a hand computation
+    from the defining formula sample = (byte - 128) * 256."""
+    from fuzzy_matching_ray.extras.multimodal import audio_features, text_to_fake_wav
+
+    texts = ["abc", "", "Zebra stripes éé", "x" * 1000]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": texts})
+    out = (
+        audio_features(text_to_fake_wav(rd.from_pandas(df)))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode(), np.uint8).astype(np.int64)
+        s = (b - 128) * 256
+        assert out.loc[i, "n_samples"] == s.size
+        assert out.loc[i, "sample_rate"] == 8000
+        assert out.loc[i, "duration_ms"] == s.size * 1000 // 8000
+        assert out.loc[i, "peak"] == (np.abs(s).max() if s.size else 0)
+        assert out.loc[i, "sum_abs"] == np.abs(s).sum()
+        assert out.loc[i, "energy"] == (s * s).sum()
+
+
+def test_wav_container_is_genuine_and_nonwav_is_loud(ray_session):
+    """Blobs must open with the stdlib wave module directly (real RIFF,
+    not a fake header), and a non-WAV blob must raise loudly."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from fuzzy_matching_ray.extras.multimodal import AudioFeatureStage, text_to_fake_wav
+
+    df = pd.DataFrame({"doc_id": [7], "text": ["hello wave"]})
+    blob = text_to_fake_wav(rd.from_pandas(df)).take_all()[0]["media"]
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 8000
+        assert w.getnframes() == len("hello wave".encode())
+
+    stage = AudioFeatureStage()
+    with _pytest.raises(NotImplementedError, match="WAV"):
+        stage(pa.table({"doc_id": [1], "media": [b"ID3\x04 not audio we read"],
+                        "media_type": ["audio/mpeg"]}))
