@@ -79,7 +79,10 @@ class CheckpointManager:
         out_dir = self._stage_dir(stage)
         if self.completed(stage, input_fingerprint):
             m = self._load_manifest(stage)
-            ds = ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+            # partitioning=None: the checkpoint layout's own hive-style
+            # dir names (stage=X/part=Y) must not be inferred back as
+            # extra columns — resumed schemas must equal computed ones
+            ds = ray.data.read_parquet(out_dir, file_extensions=["parquet"], partitioning=None)
             return StageResult(ds=ds, path=out_dir, reused=True, rows=m.get("rows", -1))
 
         t0 = time.time()
@@ -101,7 +104,7 @@ class CheckpointManager:
         with open(os.path.join(tmp_dir, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
         os.rename(tmp_dir, out_dir)
-        out = ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+        out = ray.data.read_parquet(out_dir, file_extensions=["parquet"], partitioning=None)
         return StageResult(ds=out, path=out_dir, reused=False, rows=rows)
 
     def run_partitioned_stage(
@@ -159,7 +162,7 @@ class CheckpointManager:
                 f,
                 indent=2,
             )
-        ds = ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+        ds = ray.data.read_parquet(out_dir, file_extensions=["parquet"], partitioning=None)
         return StageResult(ds=ds, path=out_dir, reused=False, rows=rows)
 
 

@@ -73,3 +73,45 @@ def test_partitioned_resume_skips_done(ray_session, tmp_path):
     assert calls == ["p2"]  # only the incomplete partition recomputed
     assert os.path.getmtime(done_dir) == mtime_before
     assert res.rows == 3
+
+
+def test_filelist_fast_path_kill_after_signatures_resumes(
+    ray_session, tiny_transcripts, tmp_path
+):
+    """Round-4's shuffle-free file-local assembly bypasses the generic
+    read — resume must cover it too.  Simulate a run killed after the
+    signature stage on the FILE-LIST input: only the docs checkpoint
+    survives; the rerun must reuse it (manifest mtime unchanged, no
+    assembly recompute) and land byte-identical clusters."""
+    import glob
+    import shutil
+
+    wd = str(tmp_path / "ckfl")
+    files = sorted(glob.glob(os.path.join(tiny_transcripts["turns_dir"], "*.parquet")))
+    assert len(files) >= 2  # conv-sharded layout precondition
+    cfg = PipelineConfig(num_partitions=4, workdir=wd)
+
+    r1 = dedup_transcripts(files, cfg)
+    full = r1.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    docs_manifest = os.path.join(wd, "stage=docs", "_manifest.json")
+    mtime_docs = os.path.getmtime(docs_manifest)
+
+    # kill-after-signatures state: docs checkpoint exists, nothing
+    # downstream does (signatures themselves are recomputed by design)
+    for stage in ("pairs", "edges", "clusters"):
+        shutil.rmtree(os.path.join(wd, f"stage={stage}"), ignore_errors=True)
+    time.sleep(0.05)
+
+    r2 = dedup_transcripts(files, cfg)
+    assert r2.metrics["docs_reused"] is True
+    assert os.path.getmtime(docs_manifest) == mtime_docs  # no assembly recompute
+    resumed = r2.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, full)
+
+    # and the file-list path must agree with the Dataset path exactly
+    r3 = dedup_transcripts(
+        rd.read_parquet(tiny_transcripts["turns_dir"]),
+        PipelineConfig(num_partitions=4),
+    )
+    via_ds = r3.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_ds, full)
