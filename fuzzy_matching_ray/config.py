@@ -163,6 +163,16 @@ class PipelineConfig:
     sig_batch_size: int = 1024
     sig_concurrency: int = 32
 
+    # docs block granularity: signature/band/verify TASK parallelism is
+    # bounded by the docs block count (map_batches schedules one task
+    # per block; batch_size only re-chunks within a task).  When the
+    # corpus arrives as fewer input units (files / assembly partitions)
+    # than ~4× the cluster CPUs, a StreamingRepartition (task-local
+    # split, NO all-to-all) re-slices the assembled docs to this many
+    # rows per block so every downstream stage can use the whole
+    # cluster.  At real scale (files ≫ cores) the split is skipped.
+    docs_rows_per_block: int = 256
+
     # checkpointing
     workdir: Optional[str] = None
     num_partitions: int = 16

@@ -188,10 +188,38 @@ def compute_signatures(
     process), and Ray's actor pools ramp up lazily — on a few-second
     stage the pool never reaches its sized width, which measured as a
     CPU-count-independent stage wall (flat 6.8s at 8 and 32 CPUs at
-    scale24000).  Tasks schedule wide immediately.  ``n_docs`` kept
-    for call-site compatibility."""
-    del n_docs
-    return docs.select_columns(["conv_id", "text_canon"]).map_batches(
+    scale24000).  Tasks schedule wide immediately.
+
+    Block-granularity guard (round 5): map_batches schedules one TASK
+    per input block, so a corpus assembled from few files/partitions
+    caps this stage at that many tasks (4 tasks at 32 CPUs measured as
+    a flat ~2s wall at any CPU count).  When ``n_docs`` implies fewer
+    natural blocks than the cluster can use, the narrow projected
+    input is re-sliced by a StreamingRepartition — a task-local split,
+    NO all-to-all — to ``cfg.docs_rows_per_block`` rows per block.  At
+    real scale (blocks ≫ cores) the estimate disables the split.  The
+    split happens AFTER the column projection, so only (conv_id,
+    text_canon) bytes are re-sliced, and the (tiny, narrow-keyed)
+    exact-dedup shuffle keeps the coarse natural blocks it measures
+    fastest on."""
+    import ray
+
+    narrow = docs.select_columns(["conv_id", "text_canon"])
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    if (
+        cfg.docs_rows_per_block > 0
+        and n_docs is not None
+        and n_docs > cfg.docs_rows_per_block
+        # natural granularity unknown on a lazy plan: a corpus this
+        # small relative to the cluster plausibly arrived as fewer
+        # blocks than the cluster can use, and re-slicing its narrow
+        # projection is cheap; a corpus past this bound has enough
+        # natural blocks (and the split would re-copy real bytes)
+        and n_docs < 16 * ncpu * cfg.docs_rows_per_block
+    ):
+        target = max(cfg.docs_rows_per_block, n_docs // (4 * ncpu) + 1)
+        narrow = narrow.repartition(target_num_rows_per_block=target)
+    return narrow.map_batches(
         lambda b: signature_batch(b, cfg, with_shingles),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
