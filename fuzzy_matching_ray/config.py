@@ -125,6 +125,20 @@ class PipelineConfig:
     # skipped pair is accounted in the dropped-pairs metric.
     max_band_bucket: int = 64
     max_pairs_per_bucket: int = 2016  # C(64,2)
+    # hot-bucket strategy: 'budget' (default — sorted-id chunks under
+    # the pair budget above; skipped cross pairs counted on __skew
+    # sentinels) or 'resalt' — re-band the hot bucket's members by a
+    # salt key derived from `resalt_rows` extra signature rows (finer
+    # LSH): members agreeing on the salt emit full pairs, the rest are
+    # separated the same way non-colliding docs are separated by any
+    # LSH band, counted EXACTLY on a __resalt sentinel
+    # (`resalted_pairs_hot_buckets`).  On boilerplate-heavy corpora
+    # resalt keeps recall concentrated on pairs whose signatures agree
+    # beyond the stopword band instead of arbitrary sorted-id chunks.
+    hot_bucket_mode: str = "budget"
+    # signature rows mixed into the salt key (P[same salt | Jaccard j]
+    # ≈ j^resalt_rows: 0.41 at j=0.8, 1e-4 at j=0.1)
+    resalt_rows: int = 4
 
     # verification: accept a pair if shingle Jaccard >= jaccard_threshold,
     # OR if its Indel edit similarity >= edit_accept_threshold (the
@@ -189,3 +203,11 @@ class PipelineConfig:
             )
         if self.simhash_bits % self.simhash_bands != 0:
             raise ValueError("simhash_bits must divide evenly into simhash_bands")
+        if self.hot_bucket_mode not in ("budget", "resalt"):
+            raise ValueError(
+                f"hot_bucket_mode must be 'budget' or 'resalt', got {self.hot_bucket_mode!r}"
+            )
+        if not 1 <= self.resalt_rows <= self.num_perm:
+            raise ValueError(
+                f"resalt_rows ({self.resalt_rows}) must be in [1, num_perm={self.num_perm}]"
+            )

@@ -763,7 +763,11 @@ def incremental_dedup_pairs(
     )
 
     def _drop_base_base(b: pa.Table) -> pa.Table:
-        from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
+        from fuzzy_matching_ray.stages.minhash import (
+            CHANNEL_CODES,
+            RESALT_CHANNEL,
+            SKEW_CHANNEL,
+        )
 
         from fuzzy_matching_ray.hashing import sorted_member
 
@@ -771,7 +775,11 @@ def incremental_dedup_pairs(
         in_src = sorted_member(base, b["src"].to_numpy(zero_copy_only=False))
         in_dst = sorted_member(base, b["dst"].to_numpy(zero_copy_only=False))
         chan = b["channel"].to_numpy(zero_copy_only=False)
-        keep = ~(in_src & in_dst) | (chan == CHANNEL_CODES[SKEW_CHANNEL])
+        keep = (
+            ~(in_src & in_dst)
+            | (chan == CHANNEL_CODES[SKEW_CHANNEL])
+            | (chan == CHANNEL_CODES[RESALT_CHANNEL])
+        )
         return b.filter(pa.array(keep))
 
     pairs = pairs.map_batches(_drop_base_base, batch_format="pyarrow")

@@ -181,6 +181,28 @@ def band_hashes_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
     return _splitmix64(acc)
 
 
+def salt_keys(sigs: np.ndarray, resalt_rows: int) -> np.ndarray:
+    """Per-doc salt key for hot-bucket re-salting: a mixed hash over
+    the LAST ``resalt_rows`` rows of the (n_docs, num_perm) signature
+    matrix.  Two docs share a salt key iff they agree on those rows
+    (P ≈ Jaccard^resalt_rows), so re-banding a hot LSH bucket by salt
+    behaves like one finer LSH band.  The trailing rows + a distinct
+    mixing constant keep the salt key space disjoint from every
+    ``band_hashes_matrix`` key space (different mixing constant).
+    Caveat: bands tile ALL signature rows, so the salt rows overlap
+    the trailing band(s); for a hot bucket keyed on one of those the
+    salt is correlated with the colliding band and separates slightly
+    less — harmless (re-salting is best-effort recall, and every
+    separated pair is still counted exactly)."""
+    tail = sigs[:, -resalt_rows:]
+    with np.errstate(over="ignore"):
+        acc = np.zeros(sigs.shape[0], dtype=np.uint64)
+        for j in range(resalt_rows):
+            acc = acc * _POLY_BASE + tail[:, j]
+        acc = acc + np.uint64(0xD1B54A32D192ED03)
+    return _splitmix64(acc)
+
+
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
     """64-bit SimHash (Charikar 2002) over pre-hashed tokens."""
     if token_hashes.size == 0:

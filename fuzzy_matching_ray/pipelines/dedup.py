@@ -228,6 +228,12 @@ def dedup_transcripts(
     # Summed with per-block Ray tasks over the already-materialized
     # pair blocks — NOT one more Dataset execution.
     metrics["dropped_pairs_hot_buckets"] = _dropped_pairs(uniq_pairs)
+    if cfg.hot_bucket_mode == "resalt":
+        from fuzzy_matching_ray.stages.minhash import RESALT_CHANNEL
+
+        metrics["resalted_pairs_hot_buckets"] = _dropped_pairs(
+            uniq_pairs, channel=RESALT_CHANNEL
+        )
     _lap("candidate_pairs")
 
     # verification.  The payload side (broadcast store / shuffle
@@ -299,24 +305,27 @@ def dedup_transcripts(
     )
 
 
-def _dropped_pairs(uniq_pairs: ray.data.Dataset) -> int:
-    """Exact count of cross pairs skipped by the per-bucket budget:
-    the __skew sentinel rows (one per coarse bucket, unique keys that
-    survive pair dedup) carry the per-bucket totals computed at
-    emission time — summed with per-block Ray tasks over the
-    materialized pair blocks (no extra Dataset execution)."""
+def _dropped_pairs(uniq_pairs: ray.data.Dataset, channel: str | None = None) -> int:
+    """Exact count of cross pairs skipped by the per-bucket budget
+    (``channel=None`` → __skew sentinels) or separated by hot-bucket
+    re-salting (``channel='__resalt'``): the sentinel rows (one per
+    coarse bucket per kind, unique keys that survive pair dedup) carry
+    the per-bucket totals computed at emission time — summed with
+    per-block Ray tasks over the materialized pair blocks (no extra
+    Dataset execution)."""
     from fuzzy_matching_ray.stages.blocks import sum_where
     from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
 
+    code = CHANNEL_CODES[channel or SKEW_CHANNEL]
     try:
-        return sum_where(uniq_pairs, "dropped", "channel", CHANNEL_CODES[SKEW_CHANNEL])
+        return sum_where(uniq_pairs, "dropped", "channel", code)
     except Exception as exc:
         print(f"[dedup] block-level skew sum failed ({exc!r}); dataset fallback")
         execmeter.record("skew_metrics_fallback")
         import pyarrow.compute as pc
 
         def _sum(batch: pa.Table) -> pa.Table:
-            mask = pc.equal(batch["channel"], CHANNEL_CODES[SKEW_CHANNEL])
+            mask = pc.equal(batch["channel"], code)
             total = pc.sum(batch["dropped"].filter(mask))
             return pa.table({"d": pa.array([total.as_py() or 0], pa.int64())})
 

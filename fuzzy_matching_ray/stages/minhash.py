@@ -19,6 +19,11 @@ Stages:
    per-bucket pair budget — and every skipped cross pair is counted
    EXACTLY at emission time and carried on a ``__skew`` sentinel row
    per coarse bucket (north_rule requires explicit drop accounting).
+   With ``cfg.hot_bucket_mode='resalt'`` hot buckets are instead
+   *re-banded* by a salt key over extra signature rows (finer LSH):
+   salt groups emit full pairs, separations are counted exactly on a
+   ``__resalt`` sentinel (``resalted_pairs_hot_buckets``) — better
+   recall targeting on boilerplate-heavy corpora at bounded work.
 """
 
 from __future__ import annotations
@@ -37,8 +42,14 @@ from fuzzy_matching_ray.hashing import (
 from fuzzy_matching_ray.stages.grouped import bucketed_group_apply
 
 # candidate-pair rows; one __skew sentinel row per coarse bucket carries
-# the exact dropped-cross-pair count (src=0, dst=first band key)
+# the exact dropped-cross-pair count (src=0, dst=first band key).  In
+# hot_bucket_mode='resalt' a second __resalt sentinel per coarse bucket
+# (src=1, dst=first band key — distinct (src,dst) so pair-dedup keeps
+# both) carries the exact count of cross pairs separated by the finer
+# salt banding (those are "didn't collide at finer granularity", not
+# budget drops — reported as `resalted_pairs_hot_buckets`).
 SKEW_CHANNEL = "__skew"
+RESALT_CHANNEL = "__resalt"
 PAIR_SCHEMA = pa.schema(
     [
         ("src", pa.uint64()),   # stable node id (hashing.nid_of)
@@ -61,6 +72,7 @@ CHANNEL_CODES: dict[str, int] = {
     "simhash": 3,
     SKEW_CHANNEL: 4,
     "__gate": 5,
+    RESALT_CHANNEL: 6,
 }
 
 
@@ -238,21 +250,29 @@ def sig_matrix(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
 def minhash_band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
     """sigs(nid, sig) → (band_key, nid) rows (stateless: band keys are
     a vectorized mix over the signature matrix).  8-byte node ids, not
-    conv_id strings, flow through the banding shuffle."""
+    conv_id strings, flow through the banding shuffle.  In
+    ``hot_bucket_mode='resalt'`` each row additionally carries the
+    doc's ``salt_key`` (hashing.salt_keys) so hot buckets can re-band
+    at finer granularity downstream — +8 bytes/row on this exchange,
+    only in that mode."""
     bands, num_perm = cfg.bands, cfg.num_perm
+    resalt_rows = cfg.resalt_rows if cfg.hot_bucket_mode == "resalt" else 0
 
     def _explode(batch: pa.Table) -> pa.Table:
-        from fuzzy_matching_ray.hashing import band_hashes_matrix
+        from fuzzy_matching_ray.hashing import band_hashes_matrix, salt_keys
 
         n = batch.num_rows
-        keys = band_hashes_matrix(sig_matrix(batch["sig"], num_perm), bands)
+        mat = sig_matrix(batch["sig"], num_perm)
+        keys = band_hashes_matrix(mat, bands)
         idx = np.repeat(np.arange(n, dtype=np.int64), bands)
-        return pa.table(
-            {
-                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
-                "nid": batch["nid"].take(pa.array(idx)),
-            }
-        )
+        cols = {
+            "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+            "nid": batch["nid"].take(pa.array(idx)),
+        }
+        if resalt_rows:
+            salts = salt_keys(mat, resalt_rows)
+            cols["salt_key"] = pa.array(np.repeat(salts, bands), pa.uint64())
+        return pa.table(cols)
 
     return sigs.select_columns(["nid", "sig"]).map_batches(
         _explode, batch_format="pyarrow"
@@ -324,6 +344,73 @@ def _bucket_pairs(
     )
 
 
+def _bucket_pairs_resalt(
+    ids, salts, max_bucket: int, channel: int, max_pairs: int = 1 << 62
+) -> tuple[pd.DataFrame, int, int]:
+    """Re-salted pair emission for one hot bucket: members are
+    re-banded by ``salt_key`` (a finer LSH band over extra signature
+    rows — see ``hashing.salt_keys``); each salt group ≤ ``max_bucket``
+    emits ALL its pairs, oversize salt groups fall back to the
+    chunk/budget path of :func:`_bucket_pairs`.  Pairs separated by the
+    salt didn't collide at the finer granularity — the same non-event
+    as any LSH miss — and are counted exactly as ``resalted`` (not
+    ``dropped``; only budget-exhausted pairs inside oversize salt
+    groups count there).  Returns (pairs_df, dropped, resalted) with
+    the exact identity C(n,2) == emitted + dropped + resalted.
+
+    No chain links across salt groups: unlike sorted-id chunks (an
+    arbitrary partition of one over-merged bucket), salt groups are a
+    *principled* separation, so stitching them back into one candidate
+    path would re-create exactly the boilerplate mega-component the
+    finer banding exists to avoid."""
+    ids_arr = np.asarray(ids, dtype=np.uint64)
+    salts_arr = np.asarray(salts, dtype=np.uint64)
+    n = ids_arr.size
+    order = np.lexsort((ids_arr, salts_arr))
+    ids_arr = ids_arr[order]
+    salts_arr = salts_arr[order]
+    boundary = np.flatnonzero(np.r_[True, salts_arr[1:] != salts_arr[:-1], True])
+    sizes = np.diff(boundary)
+    starts = boundary[:-1]
+
+    frames: list[pd.DataFrame] = []
+    emitted = 0
+    dropped = 0
+    for s, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        group = ids_arr[s : s + m]
+        if m <= max_bucket:
+            iu, ju = np.triu_indices(m, k=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src": group[iu],
+                        "dst": group[ju],
+                        "channel": np.int8(channel),
+                        "bucket_size": np.int32(n),
+                    }
+                )
+            )
+            emitted += iu.size
+        else:
+            frame, grp_dropped = _bucket_pairs(group, max_bucket, channel, max_pairs)
+            frames.append(frame)
+            dropped += grp_dropped
+            emitted += int(m) * (int(m) - 1) // 2 - grp_dropped
+    if frames:
+        out = pd.concat(frames, ignore_index=True)
+    else:
+        out = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="uint64"),
+                "dst": pd.Series(dtype="uint64"),
+                "channel": pd.Series(dtype="int8"),
+                "bucket_size": pd.Series(dtype="int32"),
+            }
+        )
+    resalted = n * (n - 1) // 2 - emitted - dropped
+    return out, dropped, resalted
+
+
 def candidate_pairs_from_buckets(
     band_rows: ray.data.Dataset,
     cfg: PipelineConfig,
@@ -355,6 +442,7 @@ def candidate_pairs_from_buckets(
         df = df.sort_values(["band_key", "nid"], kind="mergesort")
         keys = df["band_key"].to_numpy()
         ids = df["nid"].to_numpy()
+        salts = df["salt_key"].to_numpy() if "salt_key" in df.columns else None
         # group boundaries over the sorted keys
         boundary = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
         sizes = np.diff(boundary)
@@ -365,6 +453,7 @@ def candidate_pairs_from_buckets(
         size_parts: list[np.ndarray] = []
         hot_frames: list[pd.DataFrame] = []
         dropped_total = 0
+        resalted_total = 0
         # one vectorized emission per distinct group size (≤ max_bucket
         # distinct values) instead of one Python call per band
         for n in np.unique(sizes):
@@ -373,9 +462,15 @@ def candidate_pairs_from_buckets(
             sel = starts[sizes == n]
             if n > max_bucket:
                 for s in sel:
-                    frame, dropped = _bucket_pairs(
-                        ids[s : s + n], max_bucket, code, max_pairs
-                    )
+                    if salts is not None:
+                        frame, dropped, resalted = _bucket_pairs_resalt(
+                            ids[s : s + n], salts[s : s + n], max_bucket, code, max_pairs
+                        )
+                        resalted_total += resalted
+                    else:
+                        frame, dropped = _bucket_pairs(
+                            ids[s : s + n], max_bucket, code, max_pairs
+                        )
                     hot_frames.append(frame)
                     dropped_total += dropped
                 continue
@@ -407,6 +502,21 @@ def candidate_pairs_from_buckets(
                         # carry the exact value in a dedicated column
                         "bucket_size": np.int32(0),
                         "dropped": np.int64(dropped_total),
+                    }
+                )
+            )
+        if resalted_total:
+            # src=1 (vs the skew sentinel's src=0) keeps (src,dst)
+            # distinct under pair dedup when both sentinels exist for
+            # one coarse bucket
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "src": np.ones(1, dtype=np.uint64),
+                        "dst": np.asarray([keys[0]], dtype=np.uint64),
+                        "channel": np.int8(CHANNEL_CODES[RESALT_CHANNEL]),
+                        "bucket_size": np.int32(0),
+                        "dropped": np.int64(resalted_total),
                     }
                 )
             )

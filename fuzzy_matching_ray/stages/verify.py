@@ -736,7 +736,11 @@ class VerifierPool:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from fuzzy_matching_ray.stages.minhash import CHANNEL_CODES, SKEW_CHANNEL
+        from fuzzy_matching_ray.stages.minhash import (
+            CHANNEL_CODES,
+            RESALT_CHANNEL,
+            SKEW_CHANNEL,
+        )
 
         prof = PROF
         if prof is not None:
@@ -766,7 +770,11 @@ class VerifierPool:
         # millions of per-pair Python strings via to_pylist dominated
         # the scoring loop
         chan_col = batch["channel"]
-        is_skew = _np(pc.equal(chan_col, CHANNEL_CODES[SKEW_CHANNEL]))
+        # both sentinel kinds (__skew budget drops, __resalt finer-band
+        # separations) are metric freight, never candidates
+        is_skew = _np(pc.equal(chan_col, CHANNEL_CODES[SKEW_CHANNEL])) | _np(
+            pc.equal(chan_col, CHANNEL_CODES[RESALT_CHANNEL])
+        )
         is_exact = _np(pc.equal(chan_col, CHANNEL_CODES["exact"]))
         is_substr = _np(pc.equal(chan_col, CHANNEL_CODES["substring"]))
         src_texts = batch["src_text"].to_pylist() if "src_text" in batch.column_names else [None] * n
