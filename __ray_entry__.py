@@ -176,6 +176,24 @@ def _q_dedup_cluster_sizes(sf_dir: str):
     )
 
 
+def _q_dedup_resalt_clusters(sf_dir: str):
+    """Flagship pipeline with hot_bucket_mode='resalt' (hot LSH buckets
+    re-banded by extra signature rows instead of budget-chunked) — must
+    reproduce the same brute-force all-pairs golden clusters: re-salting
+    may only re-route candidate generation, never change which pairs
+    the exact verifier accepts."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from fuzzy_matching_ray.pipelines.dedup import dedup_transcripts
+
+    _ensure_golden(sf_dir)
+    turns = rd.read_parquet(_transcripts_dir(sf_dir))
+    cfg = dataclasses.replace(_pipeline_cfg(), hot_bucket_mode="resalt")
+    return dedup_transcripts(turns, cfg).clusters
+
+
 def _q_dedup_simhash_clusters(sf_dir: str):
     import ray.data as rd
 
@@ -1140,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best_reps": _q_dedup_best_reps,
         "dedup_cluster_reps": _q_dedup_cluster_reps,
         "dedup_simhash_clusters": _q_dedup_simhash_clusters,
+        "dedup_resalt_clusters": _q_dedup_resalt_clusters,
         "dedup_substring_edges": _q_substring_pairs,
         "assemble_docs": _q_assemble_docs,
         # reference record-linkage surface
@@ -1292,6 +1311,12 @@ def oracle_sql() -> dict[str, str]:
             # all single-process — the distributed SimHash channel must
             # reproduce it exactly
             f"SELECT * FROM read_parquet('{_CACHE_ROOT}/simhash_golden_sf0.01/clusters.parquet')"
+        ),
+        "dedup_resalt_clusters": (
+            # same brute-force golden as dedup_minhash_clusters: the
+            # resalt hot-bucket mode changes candidate ROUTING only,
+            # so the accepted clusters must be identical
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/flagship_golden_sf0.01/clusters.parquet')"
         ),
         "dedup_substring_edges": (
             # serial golden (fixtures.ensure_substring_golden): all-pairs
