@@ -297,6 +297,14 @@ def cmd_pack(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_menu(args: argparse.Namespace) -> int:
+    """Interactive menu — UX parity with the reference's menu entry
+    point (``cli/main.py:37-227``); see ``fuzzy_matching_ray.menu``."""
+    from fuzzy_matching_ray.menu import run_menu
+
+    return run_menu(num_cpus=args.num_cpus)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fuzzy_matching_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -398,6 +406,13 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--budget", type=int, default=512)
     pk.add_argument("--num-shards", type=int, default=64)
     pk.set_defaults(fn=cmd_pack)
+
+    mn = sub.add_parser(
+        "menu",
+        help="interactive menu (reference cli/main.py UX: demos, launchers, help)",
+    )
+    mn.add_argument("--num-cpus", type=int, default=None)
+    mn.set_defaults(fn=cmd_menu)
     return p
 
 
