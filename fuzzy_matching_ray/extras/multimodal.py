@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Three codecs are real here: **PNG** (8-bit gray/RGB — decoded and
+Four codecs are real here: **PNG** (8-bit gray/RGB — decoded and
 re-encoded with the stdlib-only codec in ``extras/png.py``, so
-decode→resize→feature runs on an actual interchange format), **WAV**
+decode→resize→feature runs on an actual interchange format),
+**baseline JPEG** (SOF0 Huffman DCT via the from-scratch numpy codec
+in ``extras/jpeg.py`` — 4:4:4/4:2:0, restart intervals), **WAV**
 (RIFF PCM via the stdlib ``wave`` module — real audio containers in,
 integer PCM features out), and the deterministic "FMRB" fake (a tiny
 self-describing header) that keeps the SQL oracles integer-exact.
-Formats needing external codec libraries (JPEG/MP4 — not in this
-container) raise ``NotImplementedError`` loudly; plug PIL/libav into
+Formats needing external codec libraries (MP4/video — not in this
+container) raise ``NotImplementedError`` loudly; plug libav into
 the same actor ``__init__`` on a full cluster image.
 
 Stages are actor pools (``map_batches`` with a callable class): codec
@@ -68,11 +70,13 @@ class MediaDecodeStage:
 
     def __init__(self, allow_fake: bool = True):
         # per-actor codec init (the "model load" slot): bind the PNG
-        # kernels once instead of importing per batch
+        # and JPEG kernels once instead of importing per batch
+        from fuzzy_matching_ray.extras.jpeg import decode_jpeg
         from fuzzy_matching_ray.extras.png import decode_png
 
         self.allow_fake = allow_fake
         self._decode_png = decode_png
+        self._decode_jpeg = decode_jpeg
 
     def _decode(self, blob: bytes, media_type: str) -> tuple[int, int, int]:
         if media_type == "image/x-fmrb" and self.allow_fake and blob[:4] == _MAGIC:
@@ -82,9 +86,13 @@ class MediaDecodeStage:
             arr = self._decode_png(blob)
             h, w = arr.shape[:2]
             return w, h, int(arr.nbytes)
+        if media_type == "image/jpeg" or blob[:2] == b"\xff\xd8":
+            arr = self._decode_jpeg(blob)
+            h, w = arr.shape[:2]
+            return w, h, int(arr.nbytes)
         raise NotImplementedError(
             f"no decoder for {media_type!r} in this environment — "
-            "plug a real codec here (PIL/libav) on a full cluster image"
+            "plug a real codec here (libav) on a full cluster image"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -131,24 +139,29 @@ def decode_media(
 
 
 class MediaResizeStage:
-    """Actor-pool binary-in/binary-out resize.  PNG blobs decode,
-    nearest-neighbor resample and re-encode through the stdlib codec
-    (``extras/png.py``).  For the fake codec, "resizing" to ``(w, h)``
-    rewrites the header and keeps every ``k``-th payload byte
-    (k = max(1, old_area // new_area)).  Same Ray shape either way:
-    per-actor codec state, small batches, binary columns in and out.
-    Formats needing external libraries raise ``NotImplementedError``."""
+    """Actor-pool binary-in/binary-out resize.  PNG and baseline JPEG
+    blobs decode, nearest-neighbor resample and re-encode through the
+    from-scratch codecs (``extras/png.py`` / ``extras/jpeg.py`` —
+    JPEG re-encodes at quality 90, 4:4:4).  For the fake codec,
+    "resizing" to ``(w, h)`` rewrites the header and keeps every
+    ``k``-th payload byte (k = max(1, old_area // new_area)).  Same
+    Ray shape either way: per-actor codec state, small batches,
+    binary columns in and out.  Formats needing external libraries
+    raise ``NotImplementedError``."""
 
     def __init__(self, width: int, height: int, allow_fake: bool = True):
+        from fuzzy_matching_ray.extras.jpeg import decode_jpeg, encode_jpeg
         from fuzzy_matching_ray.extras.png import decode_png, encode_png, resize_nearest
 
         self.width = width
         self.height = height
         self.allow_fake = allow_fake
         self._png = (decode_png, encode_png, resize_nearest)
+        self._jpeg = (decode_jpeg, encode_jpeg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         decode_png, encode_png, resize_nearest = self._png
+        decode_jpeg, encode_jpeg = self._jpeg
         out = []
         for blob, mt in zip(
             batch["media"].to_pylist(), batch["media_type"].to_pylist()
@@ -158,10 +171,18 @@ class MediaResizeStage:
                     encode_png(resize_nearest(decode_png(blob), self.width, self.height))
                 )
                 continue
+            if blob[:2] == b"\xff\xd8":
+                out.append(
+                    encode_jpeg(
+                        resize_nearest(decode_jpeg(blob), self.width, self.height),
+                        quality=90,
+                    )
+                )
+                continue
             if not (self.allow_fake and blob[:4] == _MAGIC):
                 raise NotImplementedError(
-                    f"no codec for {mt!r} in this container (JPEG needs PIL; "
-                    "WAV is audio — use audio_features)"
+                    f"no codec for {mt!r} in this container "
+                    "(WAV is audio — use audio_features)"
                 )
             w, h = struct.unpack("<HH", blob[4:8])
             payload = blob[8:]
@@ -206,10 +227,12 @@ class MediaFeatureStage:
     SQL-oracle-checkable (hex-pair arithmetic over ``encode(text)``)."""
 
     def __init__(self) -> None:
+        from fuzzy_matching_ray.extras.jpeg import decode_jpeg
         from fuzzy_matching_ray.extras.png import decode_png
 
         self._np = __import__("numpy")
         self._decode_png = decode_png
+        self._decode_jpeg = decode_jpeg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         np = self._np
@@ -219,11 +242,14 @@ class MediaFeatureStage:
             if blob[:8] == b"\x89PNG\r\n\x1a\n":
                 # real format: statistics over DECODED pixels
                 payload = self._decode_png(blob).reshape(-1)
+            elif blob[:2] == b"\xff\xd8":
+                payload = self._decode_jpeg(blob).reshape(-1)
             elif len(blob) < 8 or blob[:4] != _MAGIC:
                 # same contract as MediaDecodeStage: loud, not garbage
                 raise NotImplementedError(
-                    "no JPEG codec in this container; PNG and the FMRB fake "
-                    "format are feature-extractable here, WAV via audio_features"
+                    "no codec for this format in this container; PNG/JPEG and "
+                    "the FMRB fake are feature-extractable here, WAV via "
+                    "audio_features"
                 )
             else:
                 payload = np.frombuffer(blob, dtype=np.uint8)[8:]  # strip header
