@@ -625,6 +625,27 @@ def _q_multimodal_audio(sf_dir: str):
     return audio_features(text_to_fake_wav(_read(sf_dir, "documents")))
 
 
+def _q_multimodal_jpeg(sf_dir: str):
+    """REAL baseline JPEG decode (extras/jpeg.py, from-scratch SOF0
+    Huffman+IDCT codec) over deterministically synthesized JPEG blobs:
+    dimensions and decoded-payload size are lossless facts the DuckDB
+    oracle recomputes from octet_length(text)."""
+    from fuzzy_matching_ray.extras.multimodal import decode_media, text_to_jpeg_binary
+
+    media = text_to_jpeg_binary(_read(sf_dir, "documents"))
+    return decode_media(media).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "width": b["width"],
+                "height": b["height"],
+                "payload_bytes": b["payload_bytes"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_token_heavy_hitters(sf_dir: str):
     """Exact global heavy hitters with map-side partial counts (the
     exchange carries distinct-tokens-per-batch, never occurrences)."""
@@ -1229,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed curation pipeline (filter -> dedup -> sample in one plan)
         "curate_documents": _q_curate_documents,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_jpeg_decode": _q_multimodal_jpeg,
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,
         "events_pivot": _q_events_pivot,
@@ -1517,6 +1539,16 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": (
             "SELECT doc_id, ((octet_length(encode(text)) % 640) + 1)::INT AS width, "
             "octet_length(encode(text))::BIGINT AS payload_bytes FROM documents"
+        ),
+        "multimodal_jpeg_decode": (
+            # the lossless facts of the JPEG transform: dimensions ride
+            # the SOF0 header exactly; decoded grayscale nbytes = w*h
+            "WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n "
+            "FROM documents) "
+            "SELECT doc_id, ((n % 24) + 8)::INT AS width, "
+            "(((n * 7) % 24) + 8)::INT AS height, "
+            "(((n % 24) + 8) * (((n * 7) % 24) + 8))::BIGINT AS payload_bytes "
+            "FROM m"
         ),
         "embedding_cosine_pairs": (
             "SELECT a.vec_id AS src, b.vec_id AS dst "

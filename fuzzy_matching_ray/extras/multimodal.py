@@ -283,6 +283,43 @@ def media_features(
     )
 
 
+def text_to_jpeg_binary(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """REAL baseline JPEG blobs (``extras/jpeg.py`` encoder),
+    deterministically derived from text so the JPEG path is
+    SQL-oracle-checkable on its lossless facts: grayscale, ``width =
+    (octet_length(text) % 24) + 8``, ``height = ((octet_length(text)
+    * 7) % 24) + 8`` — dimensions and decoded payload size survive the
+    lossy transform exactly (pixels do not, and no oracle reads them).
+    Pixels tile the utf-8 text bytes cyclically.  A real pipeline
+    reads image files via ``ray.data.read_binary_files`` — only this
+    synthesizer is a test harness."""
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        from fuzzy_matching_ray.extras.jpeg import encode_jpeg
+
+        blobs = []
+        for t in batch[text_col].to_pylist():
+            data = (t or "").encode()
+            w = (len(data) % 24) + 8
+            h = ((len(data) * 7) % 24) + 8
+            if data:
+                px = np.resize(np.frombuffer(data, np.uint8), (h, w))
+            else:
+                px = np.zeros((h, w), np.uint8)
+            blobs.append(encode_jpeg(px, quality=90))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "media": pa.array(blobs, pa.binary()),
+                "media_type": pa.array(["image/jpeg"] * len(blobs), pa.string()),
+            }
+        )
+
+    return ds.map_batches(_enc, batch_format="pyarrow")
+
+
 def text_to_fake_wav(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
