@@ -100,6 +100,41 @@ def test_jpeg_unsupported_is_loud():
         decode_jpeg(full[: len(full) // 2])
 
 
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+
+@pytest.mark.parametrize(
+    "dc_bits,expected",
+    [
+        (0b10110111, 134),  # '10'(cat2) '11'(extend→+3) '0'(EOB) pad → DC +48
+        (0b10000111, 122),  # '10'(cat2) '00'(extend→-3) '0'(EOB) pad → DC -48
+    ],
+)
+def test_jpeg_decodes_foreign_stream_exactly(dc_bits, expected):
+    """A stream our encoder cannot produce: hand-built DHT with 1- and
+    2-bit codes (ours are flat 4/8-bit), hand-coded entropy bits.  An
+    8×8 DC-only block must reconstruct exactly — this pins the Huffman
+    LUT walk, EXTEND (both signs), dequantization and the IDCT DC
+    path against independently derived bytes."""
+    import struct
+
+    dqt = _seg(0xDB, b"\x00" + bytes([16] * 64))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC: BITS=[1,1,0,...], HUFFVAL=[0,2] → '0'→cat0, '10'→cat2
+    dht_dc = _seg(0xC4, bytes([0x00]) + bytes([1, 1] + [0] * 14) + bytes([0, 2]))
+    # AC: BITS=[1,0,...], HUFFVAL=[0x00] → '0'→EOB
+    dht_ac = _seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    blob = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes([dc_bits]) + b"\xff\xd9"
+    out = decode_jpeg(blob)
+    # DC diff ±3 × quant 16 = ±48; DC-only IDCT = coeff/8 per pixel
+    assert out.shape == (8, 8)
+    assert np.all(out == expected)
+
+
 def test_jpeg_actor_pipeline_end_to_end(ray_session):
     """decode→resize→features over REAL JPEG blobs through the Ray
     actor-pool stages (same contract as the PNG path)."""
