@@ -213,14 +213,15 @@ def _plane_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG bytes.
 
-    ``subsample=True`` writes 4:2:0 (box-average chroma); default is
-    4:4:4.  ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (exercises the decoder's restart path)."""
+    ``subsample``: ``False``/``"444"`` writes 4:4:4, ``True``/``"420"``
+    4:2:0 (2×2 box-average chroma), ``"422"`` 4:2:2 (horizontal-only).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path)."""
     a = np.ascontiguousarray(arr)
     if a.dtype != np.uint8:
         raise ValueError("expected uint8 pixels")
@@ -250,15 +251,22 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            # box-average 2×2 on chroma (pad odd edges by replication)
+        mode = {False: "444", True: "420"}.get(subsample, subsample)
+        if mode not in ("444", "420", "422"):
+            raise ValueError(f"unsupported subsampling {subsample!r}")
+        if mode != "444":
+            fy, fx = (2, 2) if mode == "420" else (1, 2)
+
+            # box-average on chroma (pad odd edges by replication)
             def _down(p: np.ndarray) -> np.ndarray:
-                ph = p if h % 2 == 0 else np.vstack([p, p[-1:]])
-                pw = ph if w % 2 == 0 else np.hstack([ph, ph[:, -1:]])
-                return pw.reshape(pw.shape[0] // 2, 2, pw.shape[1] // 2, 2).mean(axis=(1, 3))
+                ph = p if h % fy == 0 else np.vstack([p, p[-1:]])
+                pw = ph if w % fx == 0 else np.hstack([ph, ph[:, -1:]])
+                return pw.reshape(
+                    pw.shape[0] // fy, fy, pw.shape[1] // fx, fx
+                ).mean(axis=(1, 3))
 
             planes = [y - 128.0, _down(cb) - 128.0, _down(cr) - 128.0]
-            samp = [(2, 2), (1, 1), (1, 1)]
+            samp = [(fx, fy), (1, 1), (1, 1)]
         else:
             planes = [y - 128.0, cb - 128.0, cr - 128.0]
             samp = [(1, 1), (1, 1), (1, 1)]

@@ -30,7 +30,10 @@ def _gradient(h: int, w: int, rgb: bool) -> np.ndarray:
 
 
 @pytest.mark.parametrize("rgb", [False, True])
-@pytest.mark.parametrize("kwargs", [{}, {"subsample": True}, {"restart_interval": 3}])
+@pytest.mark.parametrize(
+    "kwargs",
+    [{}, {"subsample": True}, {"subsample": "422"}, {"restart_interval": 3}],
+)
 def test_jpeg_roundtrip_bounded_error(rgb, kwargs):
     if not rgb and kwargs.get("subsample"):
         pytest.skip("subsampling applies to chroma only")
