@@ -1,6 +1,7 @@
-"""Multimodal media pipeline over REAL PNGs (Ray-Data-native):
-encode synthetic images with the stdlib PNG codec, then run the
-decode → resize → feature actor-pool stages."""
+"""Multimodal media pipeline over REAL PNGs and JPEGs
+(Ray-Data-native): encode synthetic images with the from-scratch
+codecs (extras/png.py, extras/jpeg.py), then run the decode →
+resize → feature actor-pool stages over the mixed-format column."""
 
 from __future__ import annotations
 
@@ -17,21 +18,30 @@ def main() -> dict:
         media_features,
         resize_media,
     )
+    from fuzzy_matching_ray.extras.jpeg import encode_jpeg
     from fuzzy_matching_ray.extras.png import encode_png
 
     owned = ensure_ray()
     try:
         rng = np.random.default_rng(4)
+        # mixed-format media column: PNGs (lossless noise) and JPEGs
+        # (smooth gradients — what the DCT represents compactly)
         blobs = [
             encode_png(rng.integers(0, 256, (32 + i, 48 + i, 3)).astype(np.uint8))
-            for i in range(8)
+            for i in range(4)
+        ]
+        yy, xx = np.mgrid[0:40, 0:56]
+        grad = np.stack([(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=-1)
+        blobs += [
+            encode_jpeg(((grad + 17 * i) % 256).astype(np.uint8), quality=88, subsample="420")
+            for i in range(4)
         ]
         media = rd.from_pandas(
             pd.DataFrame(
                 {
                     "doc_id": np.arange(8, dtype=np.int64),
                     "media": blobs,
-                    "media_type": ["image/png"] * 8,
+                    "media_type": ["image/png"] * 4 + ["image/jpeg"] * 4,
                 }
             )
         )
