@@ -166,6 +166,18 @@ class PipelineConfig:
     # whose true Jaccard hugs the ~0.29 banding threshold.  Set to 0
     # to disable.
     sig_est_gate: float = 0.30
+    # bitmap union-popcount prefilter: each doc carries a fixed-size
+    # bit-set sketch (shingle hash → bit h & (bits-1)) in the broadcast
+    # store.  popcount(bits_A | bits_B) ≤ |A ∪ B| exactly (collisions
+    # only merge bits), so i_ub = |A|+|B|−popcount is an EXACT upper
+    # bound on |A ∩ B| and pairs with i_ub·(1+lo) < lo·(|A|+|B|) are
+    # provably below the gray-zone floor lo = min(edit_gate_low,
+    # jaccard_threshold) — bit-identical edges, no recall loss.
+    # Measured at scale72000: culls 94% of sig-gate passers while
+    # reading 2×1 KB bitmap rows instead of 2×~3.1 KB shingle sets, the
+    # bandwidth cut that lifts verify scaling at high CPU counts.
+    # Must be a power of two ≥ 64; 0 disables.
+    bitmap_bits: int = 8192
     verify_batch_size: int = 4096
     # verify executor: 'tasks' (stateless map tasks + per-worker
     # verifier cache — lands on warm workers, no actor-spawn ramp) or
@@ -210,4 +222,10 @@ class PipelineConfig:
         if not 1 <= self.resalt_rows <= self.num_perm:
             raise ValueError(
                 f"resalt_rows ({self.resalt_rows}) must be in [1, num_perm={self.num_perm}]"
+            )
+        if self.bitmap_bits and (
+            self.bitmap_bits < 64 or self.bitmap_bits & (self.bitmap_bits - 1)
+        ):
+            raise ValueError(
+                f"bitmap_bits ({self.bitmap_bits}) must be 0 or a power of two >= 64"
             )

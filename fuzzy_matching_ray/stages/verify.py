@@ -82,20 +82,63 @@ def _pack_text_block(batch):
     return nids, data, np.diff(offs).astype(np.int64)
 
 
-def _pack_sig_block(batch, num_perm: int, has_shingles: bool):
-    """(nids, sig matrix, shingle flat, shingle lengths) for one block."""
+def _build_bitmaps(sh_flat: np.ndarray, sh_lens: np.ndarray, bits: int) -> np.ndarray:
+    """(n_docs, bits//64) uint64 bit-set sketches: shingle hash h sets
+    bit ``h & (bits-1)``.  Dense boolean scatter + ``packbits`` per
+    ≤4096-doc slice — measured ~6× faster than ``bitwise_or.at`` (which
+    is unbuffered) and the slice bounds the dense temp at ~32 MB."""
+    n = sh_lens.size
+    w = bits // 64
+    out = np.empty((n, w), dtype=np.uint64)
+    doc_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sh_lens, out=doc_off[1:])
+    mask = np.uint32(bits - 1)
+    for lo in range(0, n, 4096):
+        hi = min(lo + 4096, n)
+        lens = sh_lens[lo:hi]
+        flat = sh_flat[doc_off[lo] : doc_off[hi]]
+        dense = np.zeros((hi - lo, bits), dtype=bool)
+        rows = np.repeat(np.arange(hi - lo, dtype=np.int64), lens)
+        dense[rows, (flat & mask).astype(np.int64)] = True
+        out[lo:hi] = np.packbits(dense, axis=1, bitorder="little").view(np.uint64)
+    return out
+
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def _union_popcount(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise ``popcount(a | b)`` over (m, W) uint64 bitmap rows —
+    SWAR bit-twiddling (Hacker's Delight fig. 5-2), fully vectorized;
+    measured 3× over a byte-LUT gather (840k vs 274k pairs/s, W=128)."""
+    x = a | b
+    x -= (x >> np.uint64(1)) & _M1
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x += x >> np.uint64(4)
+    x &= _M4
+    return ((x * _H01) >> np.uint64(56)).sum(axis=1, dtype=np.int64)
+
+
+def _pack_sig_block(batch, num_perm: int, has_shingles: bool, bitmap_bits: int = 0):
+    """(nids, sig matrix, shingle flat, shingle lengths, bitmaps) for
+    one block."""
     from fuzzy_matching_ray.stages.minhash import sig_matrix
 
+    build_bm = has_shingles and bitmap_bits > 0
     batch = _as_arrow(batch)
     if batch.num_rows == 0:
         empty_sh = (np.empty(0, np.uint64), np.empty(0, np.int64)) if has_shingles else (None, None)
-        return np.empty(0, np.uint64), np.empty((0, num_perm), np.uint64), *empty_sh
+        empty_bm = np.empty((0, bitmap_bits // 64), np.uint64) if build_bm else None
+        return np.empty(0, np.uint64), np.empty((0, num_perm), np.uint64), *empty_sh, empty_bm
     nid_col = batch["nid"]
     if isinstance(nid_col, pa.ChunkedArray):
         nid_col = nid_col.combine_chunks()
     nids = nid_col.to_numpy(zero_copy_only=False)
     mat = sig_matrix(batch["sig"], num_perm)
-    sh_flat = sh_lens = None
+    sh_flat = sh_lens = bitmaps = None
     if has_shingles:
         sh_col = batch["shingles"]
         if isinstance(sh_col, pa.ChunkedArray):
@@ -103,7 +146,9 @@ def _pack_sig_block(batch, num_perm: int, has_shingles: bool):
         sh_flat = sh_col.flatten().to_numpy(zero_copy_only=False)
         offs = np.asarray(sh_col.offsets)
         sh_lens = np.diff(offs).astype(np.int64)
-    return nids, mat, sh_flat, sh_lens
+        if build_bm:
+            bitmaps = _build_bitmaps(sh_flat, sh_lens, bitmap_bits)
+    return nids, mat, sh_flat, sh_lens, bitmaps
 
 
 def _gather_packed(ds: ray.data.Dataset, pack_fn, args: tuple, fallbacks: dict | None = None):
@@ -199,6 +244,9 @@ def _assemble_store(
     sig_mats = [p[1] for p in sig_parts]
     sh_flats = [p[2] for p in sig_parts if has_shingles]
     sh_lens = [p[3] for p in sig_parts if has_shingles]
+    bm_parts = [
+        p[4] for p in sig_parts if has_shingles and len(p) > 4 and p[4] is not None
+    ]
 
     sig_nids = (
         np.concatenate(sig_nid_parts) if sig_nid_parts else np.empty(0, dtype=np.uint64)
@@ -213,6 +261,13 @@ def _assemble_store(
         sh_off = np.zeros(lens_s.size + 1, dtype=np.int64)
         np.cumsum(lens_s, out=sh_off[1:])
 
+    # bitmap sketches ride the same sig-row order as sh_off/sh_flat;
+    # only attached when every part carried one (mixed parts would
+    # misalign rows)
+    bitmaps = (
+        _pconcat(bm_parts) if bm_parts and len(bm_parts) == len(sig_mats) else None
+    )
+
     return {
         "text_nids_sorted": text_nids_sorted,
         "text_order": text_order,
@@ -223,6 +278,7 @@ def _assemble_store(
         "sigs": sig_mat,
         "sh_flat": sh_flat,
         "sh_off": sh_off,
+        "bitmaps": bitmaps,
     }
 
 
@@ -298,7 +354,10 @@ def start_store_build(
                 r for bundle in sigs.iter_internal_ref_bundles() for r in bundle.block_refs
             ]
             pack_sig = ray.remote(num_cpus=1)(_pack_sig_block)
-            sig_refs = [pack_sig.remote(r, cfg.num_perm, has_shingles) for r in sig_blocks]
+            sig_refs = [
+                pack_sig.remote(r, cfg.num_perm, has_shingles, cfg.bitmap_bits)
+                for r in sig_blocks
+            ]
         build = ray.remote(num_cpus=2)(_assemble_store_task)
         store_ref = build.remote(len(text_refs), has_shingles, *text_refs, *sig_refs)
         # health probe that fetches ONE int, not the store: a failed
@@ -339,7 +398,14 @@ def finish_store_build(
 
     text_parts = list(_gather_packed(docs, _pack_text_block, (), fallbacks))
     sig_parts = (
-        list(_gather_packed(sigs, _pack_sig_block, (cfg.num_perm, has_shingles), fallbacks))
+        list(
+            _gather_packed(
+                sigs,
+                _pack_sig_block,
+                (cfg.num_perm, has_shingles, cfg.bitmap_bits),
+                fallbacks,
+            )
+        )
         if sigs is not None
         else []
     )
@@ -664,6 +730,10 @@ class VerifierPool:
         self._sigs8: np.ndarray | None = (
             (self._sigs & np.uint64(0xFF)).astype(np.uint8) if self._sigs is not None else None
         )
+        # per-doc bit-set sketches for the exact union-popcount
+        # prefilter (config.bitmap_bits); absent on stores built by
+        # older checkpoints or with the prefilter disabled
+        self._bitmaps: np.ndarray | None = store.get("bitmaps") if store else None
         self._shingle_cache: dict[int, np.ndarray] = {}
         self._sig_cache: dict[int, np.ndarray] = {}
         from fuzzy_matching_ray.hashing import minhash_coeffs
@@ -896,6 +966,40 @@ class VerifierPool:
             else:
                 res_done = np.zeros(todo.size, dtype=bool)
             _lap("sizefilter")
+            # bitmap union-popcount prefilter (config.bitmap_bits):
+            # popcount(bits_A | bits_B) ≤ |A ∪ B| exactly, so
+            # i_ub = |A|+|B|−popcount is an exact upper bound on
+            # |A ∩ B| and J < lo is PROVEN when i_ub·(1+lo) < lo·S.
+            # Culled pairs resolve to jac=0 like the size-ratio cut —
+            # bit-identical edges (an edge needs J ≥ lo).  Reads 2×1 KB
+            # bitmap rows instead of 2×~3 KB shingle sets; measured
+            # 94% of sig-gate passers culled at scale72000.
+            if self._bitmaps is not None and res_mask.any():
+                bm = self._bitmaps
+                lo_b = (
+                    min(cfg.edit_gate_low, cfg.jaccard_threshold)
+                    if use_edit
+                    else cfg.jaccard_threshold
+                )
+                sel = np.flatnonzero(res_mask)
+                ra_s = ra_t[sel]
+                rb_s = rb_t[sel]
+                s_sum = sz_a[sel] + sz_b[sel]
+                culled = np.empty(sel.size, dtype=bool)
+                # ≤2048-pair chunks keep the |, SWAR and gather
+                # temporaries (~2 MB live per thread at W=128) inside
+                # L2 — same reasoning as the vec_jaccard chunking
+                for o in range(0, sel.size, 2048):
+                    pc_u = _union_popcount(bm[ra_s[o : o + 2048]], bm[rb_s[o : o + 2048]])
+                    i_ub = s_sum[o : o + 2048] - pc_u
+                    culled[o : o + 2048] = (
+                        i_ub * (1.0 + lo_b) < lo_b * s_sum[o : o + 2048] - 1e-9
+                    )
+                if culled.any():
+                    hit = sel[culled]
+                    res_done[hit] = True
+                    res_mask[hit] = False
+                _lap("bitmapfilter")
             if res_mask.any():
                 vec = todo[res_mask]
                 ra_v, rb_v = rs_sig[vec], rd_sig[vec]
