@@ -56,6 +56,7 @@ def _ensure_oracle_fixtures() -> None:
     fixtures.ensure_ann_golden("/root/testdata/sf0.01")
     fixtures.ensure_hll_golden("/root/testdata/sf0.01")
     fixtures.ensure_ddq_golden("/root/testdata/sf0.01")
+    fixtures.ensure_kmeans_golden("/root/testdata/sf0.01")
 
 
 try:  # never let fixture generation break module import...
@@ -399,6 +400,28 @@ def _q_knn_ivf(sf_dir: str):
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
     ds = _read(sf_dir, "embeddings")
     return knn_ivf(ds, qmat, qids, k=5)
+
+
+def _q_kmeans_embeddings(sf_dir: str):
+    from fuzzy_matching_ray.extras.kmeans import kmeans_embeddings
+
+    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_kmeans_golden(sf_dir)
+    return kmeans_embeddings(_read(sf_dir, "embeddings"), k=10, iters=5)
+
+
+def _q_semdedup_embeddings(sf_dir: str):
+    from fuzzy_matching_ray.extras.kmeans import semdedup_embeddings
+
+    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+        from fuzzy_matching_ray import fixtures
+
+        fixtures.ensure_kmeans_golden(sf_dir)
+    return semdedup_embeddings(
+        _read(sf_dir, "embeddings"), k=10, iters=5, threshold=0.3
+    )
 
 
 def _q_multimodal(sf_dir: str):
@@ -1205,6 +1228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "semdedup_embeddings": _q_semdedup_embeddings,
         # relational coverage (groupby/sort/limit/join/window)
         "lineitem_agg": _q_lineitem_agg,
         "orders_top10": _q_orders_top10,
@@ -1293,6 +1318,8 @@ FIXTURE_ORACLE_QUERIES = frozenset(
         "transliterate_persons",
         "knn_lsh",
         "knn_ivf",
+        "kmeans_embeddings",
+        "semdedup_embeddings",
         "approx_ndistinct_events",
         "approx_quantiles_events",
     }
@@ -1578,6 +1605,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_ivf": (
             f"SELECT * FROM read_parquet('{_CACHE_ROOT}/ann_golden_sf0.01/knn_ivf.parquet')"
+        ),
+        "kmeans_embeddings": (
+            # serial golden (fixtures.ensure_kmeans_golden): independent
+            # per-row integer-dot loops over the same quantized unit
+            # vectors — bit-deterministic at the pinned (k, iters)
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/kmeans_golden_sf0.01/kmeans.parquet')"
+        ),
+        "semdedup_embeddings": (
+            # serial golden: per-pair integer-dot loop, lower-id-wins
+            # pairwise rule at the pinned threshold
+            f"SELECT * FROM read_parquet('{_CACHE_ROOT}/kmeans_golden_sf0.01/semdedup.parquet')"
         ),
         "approx_ndistinct_events": (
             # serial golden (fixtures.ensure_hll_golden): integer

@@ -831,3 +831,107 @@ def ensure_ddq_golden(sf_dir: str, rel_err: float = 0.01) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out_path
+
+
+def ensure_kmeans_golden(
+    sf_dir: str, k: int = 10, iters: int = 5, threshold: float = 0.3
+) -> dict[str, str]:
+    """Serial goldens for ``kmeans_embeddings`` / ``semdedup_embeddings``.
+
+    Both are bit-deterministic by construction (integer-quantized unit
+    vectors, exact int64 dot products and sums — see ``extras/kmeans``
+    module docstring), so the output at a pinned config IS a checkable
+    contract.  The golden shares only the tiny scalar helpers both
+    paths must agree on (``quantize_unit`` / ``update_centroids`` /
+    ``sim_threshold_int`` — same rationale as ``ensure_ann_golden``
+    sharing ``_normalize``) and recomputes assignment, partial sums
+    and the pairwise dedup with independent per-row Python loops —
+    exercising none of the distributed kernels (``_iter_partials`` /
+    ``_sum_partials`` / ``bucketed_group_apply`` / the blockwise
+    triangular matmul)."""
+    import numpy as np
+
+    from fuzzy_matching_ray.extras.kmeans import (
+        quantize_unit,
+        sim_threshold_int,
+        update_centroids,
+    )
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT, f"kmeans_golden_{sf}")
+    paths = {
+        "kmeans": os.path.join(out_dir, "kmeans.parquet"),
+        "semdedup": os.path.join(out_dir, "semdedup.parquet"),
+    }
+    marker = os.path.join(out_dir, f"_done_{k}_{iters}_{threshold}")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = [int(v) for v in tbl["vec_id"].to_pylist()]
+    q = quantize_unit(np.stack([np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()]))
+    n, d = q.shape
+
+    # init: vectors of the k smallest ids (kmeans_fit contract)
+    order = sorted(range(n), key=lambda i: ids[i])
+    cent = np.stack([q[i] for i in order[:k]])
+
+    def _assign_row(v: np.ndarray) -> int:
+        best, best_dot = 0, None
+        for j in range(cent.shape[0]):
+            dot = int(sum(int(a) * int(b) for a, b in zip(v, cent[j])))
+            if best_dot is None or dot > best_dot:
+                best, best_dot = j, dot
+        return best
+
+    for _ in range(iters):
+        counts = np.zeros(cent.shape[0], np.int64)
+        sums = np.zeros_like(cent)
+        for i in range(n):
+            a = _assign_row(q[i])
+            counts[a] += 1
+            sums[a] += q[i]
+        cent = update_centroids(cent, counts, sums)
+
+    assign = [_assign_row(q[i]) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array([int(a) for a in assign], pa.int64()),
+            }
+        ),
+        paths["kmeans"],
+    )
+
+    # semdedup: within-cluster pairwise (lower-id wins), independent
+    # per-pair integer dot loop
+    thr = sim_threshold_int(threshold)
+    by_id = sorted(range(n), key=lambda i: ids[i])
+    keep = {}
+    for i in by_id:
+        dup = False
+        for j in by_id:
+            if ids[j] >= ids[i] or assign[j] != assign[i]:
+                continue
+            dot = int(sum(int(a) * int(b) for a, b in zip(q[i], q[j])))
+            if dot >= thr:
+                dup = True
+                break
+        keep[ids[i]] = not dup
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array([int(a) for a in assign], pa.int64()),
+                "keep": pa.array([keep[v] for v in ids], pa.bool_()),
+            }
+        ),
+        paths["semdedup"],
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
