@@ -88,7 +88,7 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
                  "repetition_stats_documents", "incremental_dedup_pairs",
                  "tfidf_top_terms", "mix_sources_documents", "rollup_documents",
                  "unigram_logfreq_documents", "source_overlap_documents",
-                 "cube_documents"):
+                 "cube_documents", "kmeans_embeddings", "semdedup_embeddings"):
         fn = entrymod.queries()[name]
         t0 = time.time()
         out = fn(sf_dir)
