@@ -63,11 +63,23 @@ def bm25_topk(
     terms = tuple(terms)
 
     def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
         toks = _tokens(batch[text_col])
         dl = toks.str.len().fillna(0).astype(np.int64)
         row = {"n": np.int64(len(batch)), "tot": np.int64(dl.sum())}
+        # df per term, vectorized: explode once, keep only query-term
+        # hits, count distinct (row, term) combinations — no per-row
+        # Python membership scan
+        ex = toks.explode()
+        ex = ex[ex.isin(terms)]
+        hits = (
+            pd.DataFrame({"row": ex.index, "term": ex.to_numpy()})
+            .drop_duplicates()
+            .groupby("term")
+            .size()
+        )
         for j, t in enumerate(terms):
-            row[f"df{j}"] = np.int64(toks.apply(lambda ts, t=t: t in ts).sum())
+            row[f"df{j}"] = np.int64(hits.get(t, 0))
         return pd.DataFrame([row])
 
     stat_cols = ["n", "tot"] + [f"df{j}" for j in range(len(terms))]
