@@ -12,9 +12,11 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
 plus the scaling efficiency (the sandbox proxy for the N vs 4N
 cluster-size criterion — BASELINE.md).  The scaling input is a larger
 synthetic transcript table (``$FMR_SCALING_CONVS`` conversations,
-default 24000, cached) so scalable compute — not fixed per-session
-overhead — dominates the measurement, mirroring the saturated
-multi-node regime the criterion targets.
+default 216000 ≈ 2.85M turns, cached) so scalable compute — not fixed
+per-session overhead — dominates the measurement, mirroring the
+saturated multi-node regime the criterion targets (round-5 input-size
+sweep in BASELINE.md: efficiency at fixed CPUs rises 0.544→0.641→0.704
+from 954k to 5.7M turns as the per-execution constants amortize).
 """
 
 from __future__ import annotations
@@ -195,7 +197,12 @@ def main() -> None:
     if "--scaling" in sys.argv:
         import statistics
 
-        n_convs = int(os.environ.get("FMR_SCALING_CONVS", "24000"))
+        # default sized so scalable compute dominates the per-execution
+        # constants (round-5 input-size sweep, BASELINE.md): at 24k
+        # convs the fixed Ray exchange coordination reads as false
+        # inefficiency; 216k (2.85M turns) is past the knee while a
+        # full --scaling run stays under ~10 min
+        n_convs = int(os.environ.get("FMR_SCALING_CONVS", "216000"))
         n_pairs = int(os.environ.get("FMR_SCALING_PAIRS", "1"))
         probe_clean_ms = float(os.environ.get("FMR_PROBE_CLEAN_MS", "400"))
         scale_dir = f"/tmp/fmr_cache/scale{n_convs}"
