@@ -1233,9 +1233,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational coverage (groupby/sort/limit/join/window)
         "lineitem_agg": _q_lineitem_agg,
         "orders_top10": _q_orders_top10,
+        # round 5: the new codec/grouping-set operators take the
+        # driver-checked slots of three simple relational queries
+        # (most-load-bearing-first ordering; all 80 stay hash-exact
+        # under tools/check_oracles.py either way)
+        "multimodal_jpeg_decode": _q_multimodal_jpeg,
+        "multimodal_audio": _q_multimodal_audio,
+        "rollup_documents_3key": _q_rollup_documents_3key,
+        "cube_documents": _q_cube_documents,
         "customer_per_nation": _q_customer_per_nation,
         "customers_without_orders": _q_customers_without_orders,
-        "suppliers_with_parts": _q_suppliers_with_parts,
         "events_hourly": _q_events_hourly,
         "orders_customer_join": _q_orders_customer_join,
         "customer_order_counts": _q_customer_order_counts,
@@ -1275,9 +1282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed curation pipeline (filter -> dedup -> sample in one plan)
         "curate_documents": _q_curate_documents,
         "multimodal_frames": _q_multimodal_frames,
-        "multimodal_jpeg_decode": _q_multimodal_jpeg,
         "multimodal_features": _q_multimodal_features,
-        "multimodal_audio": _q_multimodal_audio,
+        "suppliers_with_parts": _q_suppliers_with_parts,
         "events_pivot": _q_events_pivot,
         "length_deciles_documents": _q_length_deciles,
         "gram_novelty_documents": _q_gram_novelty,
@@ -1289,10 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "mix_sources_documents": _q_mix_sources,
         "rollup_documents": _q_rollup_documents,
-        "rollup_documents_3key": _q_rollup_documents_3key,
         "unigram_logfreq_documents": _q_unigram_logfreq,
         "source_overlap_documents": _q_source_overlap,
-        "cube_documents": _q_cube_documents,
     }
 
 
